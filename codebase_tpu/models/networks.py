@@ -1,0 +1,207 @@
+"""Functional network library: MLP and GRU stacks as init/apply pairs.
+
+Reference: `marlbase/utils/models.py` — `FCNetwork` (:14-48) and `RNNNetwork`
+(:51-116, Linear -> GRU stack -> Linear over (seq, batch, feat)). Here each
+network is a static *spec* with pure `init(key) -> params` and
+`apply(params, x, h) -> (y, h)` functions, so the whole thing can sit under
+jit/vmap/scan and be vmapped over a stacked agent axis
+(see `codebase_tpu/models/multi_agent.py`).
+
+Initialisation matches the reference:
+- FC networks: orthogonal init, gain sqrt(2), zero bias on every Linear when
+  `use_orthogonal_init` (`utils/models.py:8-11,32-37`), else torch Linear
+  default (kaiming-uniform a=sqrt(5) -> U(+-sqrt(1/fan_in))).
+- RNN networks: first Linear and GRU use torch defaults; only the final
+  Linear is orthogonally initialised (`utils/models.py:84-94`). GRU weights
+  use torch's U(+-1/sqrt(hidden)) default.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Initialisers
+# ---------------------------------------------------------------------------
+
+
+def orthogonal(key, shape, gain=1.0, dtype=jnp.float32):
+    """Orthogonal init matching torch.nn.init.orthogonal_ semantics."""
+    n_rows, n_cols = shape[0], int(jnp.prod(jnp.asarray(shape[1:])))
+    matrix_shape = (max(n_rows, n_cols), min(n_rows, n_cols))
+    a = jax.random.normal(key, matrix_shape, dtype)
+    q, r = jnp.linalg.qr(a)
+    q = q * jnp.sign(jnp.diagonal(r))  # make deterministic sign convention
+    if n_rows < n_cols:
+        q = q.T
+    return gain * q[:n_rows, :n_cols].reshape(shape)
+
+
+def linear_init(key, in_dim: int, out_dim: int, use_orthogonal: bool):
+    """Init one Linear layer; returns {"w": (in, out), "b": (out,)}.
+
+    Orthogonal variant: gain sqrt(2), zero bias (`utils/models.py:8-11`).
+    Torch-default variant: weight U(+-sqrt(1/fan_in)) (kaiming_uniform with
+    a=sqrt(5)), bias U(+-1/sqrt(fan_in)).
+    """
+    wkey, bkey = jax.random.split(key)
+    if use_orthogonal:
+        # torch orthogonal_ operates on (out, in); transpose to (in, out)
+        w = orthogonal(wkey, (out_dim, in_dim), gain=math.sqrt(2)).T
+        b = jnp.zeros((out_dim,), jnp.float32)
+    else:
+        bound = math.sqrt(1.0 / in_dim)
+        w = jax.random.uniform(wkey, (in_dim, out_dim), jnp.float32, -bound, bound)
+        b = jax.random.uniform(bkey, (out_dim,), jnp.float32, -bound, bound)
+    return {"w": w, "b": b}
+
+
+def gru_layer_init(key, in_dim: int, hidden: int):
+    """Init one GRU layer with torch's U(+-1/sqrt(hidden)) default.
+
+    Gate order follows torch convention: [reset, update, new] stacked along
+    the 3H axis of w_ih (in, 3H), w_hh (H, 3H), b_ih (3H,), b_hh (3H,).
+    """
+    keys = jax.random.split(key, 4)
+    bound = math.sqrt(1.0 / hidden)
+
+    def u(k, shape):
+        return jax.random.uniform(k, shape, jnp.float32, -bound, bound)
+
+    return {
+        "w_ih": u(keys[0], (in_dim, 3 * hidden)),
+        "w_hh": u(keys[1], (hidden, 3 * hidden)),
+        "b_ih": u(keys[2], (3 * hidden,)),
+        "b_hh": u(keys[3], (3 * hidden,)),
+    }
+
+
+def gru_cell(params, x, h):
+    """One GRU step, torch gate convention. x: (..., in), h: (..., H)."""
+    hidden = h.shape[-1]
+    gi = x @ params["w_ih"] + params["b_ih"]
+    gh = h @ params["w_hh"] + params["b_hh"]
+    i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+    h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+    del hidden
+    r = jax.nn.sigmoid(i_r + h_r)
+    z = jax.nn.sigmoid(i_z + h_z)
+    n = jnp.tanh(i_n + r * h_n)
+    return (1.0 - z) * n + z * h
+
+
+# ---------------------------------------------------------------------------
+# Network specs
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class MLPSpec:
+    """Fully-connected network: Linear(+ReLU) stack (`utils/models.py:14-48`)."""
+
+    dims: Tuple[int, ...]  # (in, h1, ..., out)
+    use_orthogonal_init: bool = True
+
+    def init(self, key):
+        keys = jax.random.split(key, len(self.dims) - 1)
+        return {
+            "layers": [
+                linear_init(k, self.dims[i], self.dims[i + 1], self.use_orthogonal_init)
+                for i, k in enumerate(keys)
+            ]
+        }
+
+    def apply(self, params, x, h=None):
+        """x: (..., in) -> (..., out); ReLU between layers, none on output."""
+        n = len(params["layers"])
+        for i, layer in enumerate(params["layers"]):
+            x = x @ layer["w"] + layer["b"]
+            if i < n - 1:
+                x = jax.nn.relu(x)
+        return x, h
+
+    def init_hiddens(self, batch_size: int):
+        return None
+
+    @property
+    def num_rnn_layers(self):
+        return 0
+
+
+@dataclass(frozen=True)
+class RNNSpec:
+    """Linear -> ReLU -> GRU stack -> Linear (`utils/models.py:51-116`).
+
+    dims = (in, hidden, ..., hidden, out): len(dims)-3 + 1... matching the
+    reference, `rnn_layers = len(dims[1:-1]) - 1` with all hidden sizes equal
+    (`utils/models.py:76-81`). Input/output over (T, B, feat); hidden state
+    (L, B, H).
+    """
+
+    dims: Tuple[int, ...]
+    use_orthogonal_init: bool = True
+
+    def __post_init__(self):
+        assert len(self.dims) > 2, "Need >= 3 dims for RNN"
+        hiddens = self.dims[1:-1]
+        assert all(h == hiddens[0] for h in hiddens), "equal RNN hidden sizes"
+        assert len(hiddens) >= 2, (
+            "reference RNNNetwork uses rnn_layers = len(hidden_dims) - 1 >= 1 "
+            "(`utils/models.py:77`); pass at least two hidden dims"
+        )
+
+    @property
+    def hidden_size(self):
+        return self.dims[1]
+
+    @property
+    def num_rnn_layers(self):
+        return len(self.dims[1:-1]) - 1
+
+    def init(self, key):
+        kf, kr, ko = jax.random.split(key, 3)
+        h = self.hidden_size
+        rnn_keys = jax.random.split(kr, self.num_rnn_layers)
+        return {
+            # first layer: torch default init (reference does not orthogonal-init it)
+            "first": linear_init(kf, self.dims[0], h, use_orthogonal=False),
+            "gru": [gru_layer_init(k, h, h) for k in rnn_keys],
+            "final": linear_init(ko, h, self.dims[-1], self.use_orthogonal_init),
+        }
+
+    def apply(self, params, x, h=None):
+        """x: (T, B, in), h: (L, B, H) or None -> ((T, B, out), (L, B, H))."""
+        assert x.ndim == 3, "Expect (seq_len, batch, input_size)"
+        if h is None:
+            h = self.init_hiddens(x.shape[1])
+        x = jax.nn.relu(x @ params["first"]["w"] + params["first"]["b"])
+
+        new_hiddens = []
+        for layer_idx, layer in enumerate(params["gru"]):
+            h0 = h[layer_idx]
+
+            def step(carry, xt, layer=layer):
+                hnext = gru_cell(layer, xt, carry)
+                return hnext, hnext
+
+            h_last, x = jax.lax.scan(step, h0, x)
+            new_hiddens.append(h_last)
+        y = x @ params["final"]["w"] + params["final"]["b"]
+        return y, jnp.stack(new_hiddens)
+
+    def init_hiddens(self, batch_size: int):
+        return jnp.zeros((self.num_rnn_layers, batch_size, self.hidden_size), jnp.float32)
+
+
+def make_network_spec(dims, use_rnn=False, use_orthogonal_init=True):
+    """`make_network` switch (`utils/models.py:119-130`)."""
+    dims = tuple(int(d) for d in dims)
+    if use_rnn:
+        return RNNSpec(dims, use_orthogonal_init)
+    return MLPSpec(dims, use_orthogonal_init)
