@@ -1,0 +1,99 @@
+"""Functional multi-agent environment API.
+
+The reference steps Gymnasium environments in python processes
+(`marlbase/utils/envs.py`), with the multi-agent contract "rewards are a
+list, one per agent" (README.md:69). Here an environment is a *static spec
+object* with two pure functions over pytrees:
+
+    state, ts = env.reset(key)
+    state, ts = env.step(state, actions, key)
+
+so that thousands of instances run under `jax.vmap`/`jit` on a TPU chip and
+the whole rollout lives inside `lax.scan`.
+
+Conventions:
+- `actions`: (n_agents,) int32.
+- `TimeStep.obs`: (n_agents, obs_dim) float32.
+- `TimeStep.reward`: (n_agents,) float32 — the reward the learner trains on
+  (wrappers may transform it).
+- `TimeStep.stat_reward`: the raw per-agent env reward used for episode
+  statistics. The reference records statistics *below* the reward-transforming
+  wrappers (`RecordEpisodeStatistics` is applied before `StandardiseReward`
+  and the config-listed `CooperativeReward`, `utils/envs.py:42-54`), so the
+  logged `episode_returns` are always raw env returns; `stat_reward`
+  reproduces that.
+- `TimeStep.terminated` / `truncated`: () bool, shared across agents (the
+  reference envs end episodes globally).
+- `TimeStep.action_mask`: (n_agents, n_actions) float32; all-ones when the
+  env does not mask (`env.has_action_mask` says whether it is meaningful,
+  mirroring the `info["action_mask"]` convention of
+  `marlbase/utils/smaclite_wrapper.py:14-17`).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class TimeStep:
+    obs: jnp.ndarray  # (N, D) float32
+    reward: jnp.ndarray  # (N,) float32
+    stat_reward: jnp.ndarray  # (N,) float32
+    terminated: jnp.ndarray  # () bool
+    truncated: jnp.ndarray  # () bool
+    action_mask: jnp.ndarray  # (N, A) float32
+
+    @property
+    def done(self):
+        return jnp.logical_or(self.terminated, self.truncated)
+
+
+class Environment:
+    """Static environment spec. Subclasses are frozen dataclasses so they
+    hash/compare by config and can be closed over inside jit."""
+
+    # --- static properties every env must provide -------------------------
+    @property
+    def n_agents(self) -> int:
+        raise NotImplementedError
+
+    @property
+    def obs_dim(self) -> int:
+        raise NotImplementedError
+
+    @property
+    def n_actions(self) -> int:
+        raise NotImplementedError
+
+    @property
+    def has_action_mask(self) -> bool:
+        return False
+
+    @property
+    def obs_dims(self) -> Tuple[int, ...]:
+        return (self.obs_dim,) * self.n_agents
+
+    @property
+    def action_dims(self) -> Tuple[int, ...]:
+        return (self.n_actions,) * self.n_agents
+
+    # --- pure functions ---------------------------------------------------
+    def reset(self, key):
+        """key -> (state, TimeStep). Reward fields are zero."""
+        raise NotImplementedError
+
+    def step(self, state, actions, key):
+        """(state, (N,) int32, key) -> (state, TimeStep)."""
+        raise NotImplementedError
+
+    # --- optional helpers -------------------------------------------------
+    def full_ones_mask(self):
+        return jnp.ones((self.n_agents, self.n_actions), jnp.float32)
+
+    def render_frame(self, state) -> "np.ndarray":  # noqa: F821
+        """Host-side RGB rendering of a (single, unbatched) state."""
+        raise NotImplementedError(f"{type(self).__name__} does not support rendering")

@@ -1,0 +1,66 @@
+"""Environment factory: name string -> wrapped Environment spec.
+
+Reference: `marlbase/utils/envs.py:115-119` (`make_env`) builds a wrapper
+stack around `gym.make(name)`; parallelism there means one OS subprocess per
+env (`:61-63`). Here the returned object is a pure-function env spec; the
+"vectorisation" decision happens at rollout time via `jax.vmap`
+(`codebase_tpu/envs/vector.py`), so a single spec serves both the train batch
+and single-env evaluation.
+
+Wrapper order matches `utils/envs.py:23-56`: base -> TimeLimit -> [episode
+stats via stat_reward] -> ObserveID -> StandardiseReward -> named wrappers.
+`clear_info` is accepted and ignored (no info dict to clear).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from codebase_tpu.envs import wrappers as W
+from codebase_tpu.envs.api import Environment
+from codebase_tpu.envs.lbforaging import parse_lbf_name
+
+
+def make_base_env(name: str) -> Environment:
+    short = name.split(":")[-1]
+    if short.startswith("Foraging"):
+        return parse_lbf_name(name)
+    if short.startswith("rware"):
+        from codebase_tpu.envs.rware import parse_rware_name
+
+        return parse_rware_name(name)
+    if "smaclite" in name.lower():
+        from codebase_tpu.envs.smaclite import parse_smaclite_name
+
+        return parse_smaclite_name(name)
+    if short.startswith("matrix"):
+        from codebase_tpu.envs.matrix import parse_matrix_name
+
+        return parse_matrix_name(name)
+    raise ValueError(f"Unknown environment name: {name}")
+
+
+def make_env(
+    name: str,
+    time_limit: int,
+    clear_info: bool = False,
+    observe_id: bool = False,
+    standardise_rewards: bool = False,
+    wrappers=None,
+    **kwargs,
+) -> Environment:
+    del clear_info  # no info dict in the functional API
+    env = make_base_env(name)
+    if kwargs:
+        env = dataclasses.replace(env, **kwargs)
+    if time_limit:
+        env = W.TimeLimit(env, limit=int(time_limit))
+    if observe_id:
+        env = W.ObserveID(env)
+    if standardise_rewards:
+        env = W.StandardiseReward(env)
+    for wname in wrappers or []:
+        if wname not in W.NAMED_WRAPPERS:
+            raise ValueError(f"Unknown wrapper: {wname}")
+        env = W.NAMED_WRAPPERS[wname](env)
+    return env

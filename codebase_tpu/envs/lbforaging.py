@@ -1,0 +1,379 @@
+"""Level-Based Foraging as a pure-JAX environment.
+
+The reference only *wraps* the external `lbforaging` package
+(`/root/reference/README.md:71-74`; not vendored there). This module
+re-implements the published Level-Based Foraging rules (semitable/lb-foraging,
+the env family behind `lbforaging:Foraging-{S}x{S}-{P}p-{F}f[-coop]-v3`) as a
+branchless, fully-vectorisable JAX step function. Semantics implemented:
+
+- Grid (rows x cols); P players with levels; up to F foods with levels.
+- Actions: NONE=0, NORTH=1, SOUTH=2, WEST=3, EAST=4, LOAD=5.
+- Spawning: players uniformly over empty cells, level ~ U{min..max_player_level};
+  foods on interior cells with no food in their 8-neighbourhood, level up to
+  the sum of the three lowest player levels (exclusive upper bound, matching
+  numpy Generator.integers), or exactly that sum when `force_coop`.
+- Movement: invalid moves (out of bounds / onto food) become NONE; all moves
+  resolve simultaneously; any cell claimed by more than one player (movers
+  and stayers alike) cancels all claims on it — a single resolution pass,
+  reproducing the original's collision dict.
+- Loading: each LOADing player adjacent to food selects its first adjacent
+  food (N, S, W, E priority); a food is collected when the levels of the
+  loaders that selected it sum to >= the food level; each such loader gets
+  reward player_level * food_level, normalised by
+  (loader_level_sum * total_food_level_spawned) when `normalize_reward`.
+  Failed collective loads cost `penalty`. (The original resolves loaders in
+  set-pop order, which is order-dependent only when one player is adjacent
+  to several foods at once; the first-choice rule here is deterministic and
+  agrees in all other cases.)
+- Termination: all food collected, or the internal `max_episode_steps`.
+  Time-limit truncation is a wrapper concern (the reference applies
+  `gym.wrappers.TimeLimit`, `utils/envs.py:41`).
+
+Observations use the classic (non-grid) flat layout: 3 entries (y, x, level)
+per food slot then per player slot, coordinates relative to the agent's
+sight-window origin (absolute when sight >= field size), visible entries
+compacted to the front in row-major (foods) / index (players) order,
+empty slots (-1, -1, 0).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from codebase_tpu.envs.api import Environment, TimeStep
+
+NONE, NORTH, SOUTH, WEST, EAST, LOAD = range(6)
+# row/col deltas indexed by action
+_DELTAS = np.array([[0, 0], [-1, 0], [1, 0], [0, -1], [0, 1], [0, 0]], dtype=np.int32)
+
+
+@struct.dataclass
+class LBFState:
+    agent_pos: jnp.ndarray  # (N, 2) int32 (row, col)
+    agent_level: jnp.ndarray  # (N,) int32
+    food_pos: jnp.ndarray  # (F, 2) int32
+    food_level: jnp.ndarray  # (F,) int32
+    food_active: jnp.ndarray  # (F,) bool
+    food_spawned: jnp.ndarray  # () float32 — total food level at spawn
+    t: jnp.ndarray  # () int32
+
+
+@dataclass(frozen=True)
+class LevelBasedForaging(Environment):
+    rows: int = 8
+    cols: int = 8
+    num_agents: int = 2
+    max_food: int = 3
+    sight: int = 8
+    max_episode_steps: int = 50
+    force_coop: bool = False
+    normalize_reward: bool = True
+    penalty: float = 0.0
+    min_player_level: int = 1
+    max_player_level: int = 3
+    min_food_level: int = 1
+
+    @property
+    def n_agents(self) -> int:
+        return self.num_agents
+
+    @property
+    def obs_dim(self) -> int:
+        return 3 * self.max_food + 3 * self.num_agents
+
+    @property
+    def n_actions(self) -> int:
+        return 6
+
+    # ------------------------------------------------------------------ reset
+
+    def reset(self, key):
+        k_ppos, k_plvl, k_fpos, k_flvl = jax.random.split(key, 4)
+        R, C, N, F = self.rows, self.cols, self.num_agents, self.max_food
+
+        # --- players: sequential uniform over empty cells
+        def place_player(occ, k):
+            logits = jnp.where(occ, -jnp.inf, 0.0)
+            cell = jax.random.categorical(k, logits)
+            return occ.at[cell].set(True), cell
+
+        occ0 = jnp.zeros((R * C,), bool)
+        player_occ, player_cells = jax.lax.scan(place_player, occ0, jax.random.split(k_ppos, N))
+        agent_pos = jnp.stack([player_cells // C, player_cells % C], axis=-1).astype(jnp.int32)
+        agent_level = jax.random.randint(
+            k_plvl, (N,), self.min_player_level, self.max_player_level + 1, jnp.int32
+        )
+
+        # --- foods: interior cells, empty, no food in the 8-neighbourhood
+        rr = jnp.arange(R)[:, None]
+        cc = jnp.arange(C)[None, :]
+        interior = (rr >= 1) & (rr <= R - 2) & (cc >= 1) & (cc <= C - 2)
+        player_grid = player_occ.reshape(R, C)
+
+        def place_food(food_grid, k):
+            padded = jnp.pad(food_grid.astype(jnp.int32), 1)
+            neigh = sum(
+                padded[1 + dr : 1 + dr + R, 1 + dc : 1 + dc + C]
+                for dr in (-1, 0, 1)
+                for dc in (-1, 0, 1)
+            )
+            valid = interior & ~player_grid & (neigh == 0)
+            any_valid = jnp.any(valid)
+            logits = jnp.where(valid.reshape(-1), 0.0, -jnp.inf)
+            # guard against the all-invalid case (categorical over -inf)
+            logits = jnp.where(any_valid, logits, jnp.zeros_like(logits))
+            cell = jax.random.categorical(k, logits)
+            food_grid = food_grid.at[cell // C, cell % C].set(
+                jnp.where(any_valid, True, food_grid[cell // C, cell % C])
+            )
+            return food_grid, (cell, any_valid)
+
+        food_grid0 = jnp.zeros((R, C), bool)
+        _, (food_cells, food_active) = jax.lax.scan(
+            place_food, food_grid0, jax.random.split(k_fpos, F)
+        )
+        food_pos = jnp.stack([food_cells // C, food_cells % C], axis=-1).astype(jnp.int32)
+
+        # food level upper bound: sum of the three lowest player levels
+        # (exclusive bound, matching numpy integers); exactly the bound when
+        # force_coop
+        lvl_sorted = jnp.sort(agent_level)
+        max_level = jnp.sum(lvl_sorted[: min(3, N)])
+        if self.force_coop:
+            food_level = jnp.full((F,), 1, jnp.int32) * max_level
+        else:
+            hi = jnp.maximum(max_level, self.min_food_level + 1)
+            food_level = jax.random.randint(k_flvl, (F,), self.min_food_level, hi, jnp.int32)
+        food_level = jnp.where(food_active, food_level, 0)
+
+        state = LBFState(
+            agent_pos=agent_pos,
+            agent_level=agent_level,
+            food_pos=food_pos,
+            food_level=food_level,
+            food_active=food_active,
+            food_spawned=jnp.sum(food_level).astype(jnp.float32),
+            t=jnp.asarray(0, jnp.int32),
+        )
+        zeros = jnp.zeros((N,), jnp.float32)
+        ts = TimeStep(
+            obs=self._make_obs(state),
+            reward=zeros,
+            stat_reward=zeros,
+            terminated=jnp.asarray(False),
+            truncated=jnp.asarray(False),
+            action_mask=self.full_ones_mask(),
+        )
+        return state, ts
+
+    # ------------------------------------------------------------------- step
+
+    def step(self, state: LBFState, actions, key):
+        del key  # dynamics are deterministic given actions
+        R, C, N, F = self.rows, self.cols, self.num_agents, self.max_food
+        actions = jnp.asarray(actions, jnp.int32)
+
+        food_grid = (
+            jnp.zeros((R, C), jnp.int32)
+            .at[state.food_pos[:, 0], state.food_pos[:, 1]]
+            .add(state.food_level * state.food_active)
+        )
+
+        # --- validity: moves must stay in bounds and not enter a food cell
+        deltas = jnp.asarray(_DELTAS)[actions]  # (N, 2)
+        raw_target = state.agent_pos + deltas
+        in_bounds = (
+            (raw_target[:, 0] >= 0)
+            & (raw_target[:, 0] < R)
+            & (raw_target[:, 1] >= 0)
+            & (raw_target[:, 1] < C)
+        )
+        clipped = jnp.clip(raw_target, 0, jnp.asarray([R - 1, C - 1]))
+        onto_food = food_grid[clipped[:, 0], clipped[:, 1]] > 0
+        is_move = (actions >= NORTH) & (actions <= EAST)
+        valid_move = is_move & in_bounds & ~onto_food
+        target = jnp.where(valid_move[:, None], clipped, state.agent_pos)
+
+        # --- single-pass collision resolution: a cell claimed by >1 player
+        # cancels every claim on it (`lbforaging` collision dict semantics)
+        target_cell = target[:, 0] * C + target[:, 1]
+        claims = jnp.sum(target_cell[None, :] == target_cell[:, None], axis=1)
+        new_pos = jnp.where((claims == 1)[:, None], target, state.agent_pos)
+
+        # --- loading: each LOADer picks its first adjacent active food
+        # (N, S, W, E priority), foods collect when loader levels suffice
+        loading = actions == LOAD
+        # adjacency direction of food f relative to agent a:
+        diff = state.food_pos[None, :, :] - new_pos[:, None, :]  # (N, F, 2)
+        dr, dc = diff[..., 0], diff[..., 1]
+        prio = jnp.full((N, F), 99, jnp.int32)
+        prio = jnp.where((dr == -1) & (dc == 0), 0, prio)  # food to the north
+        prio = jnp.where((dr == 1) & (dc == 0), 1, prio)  # south
+        prio = jnp.where((dr == 0) & (dc == -1), 2, prio)  # west
+        prio = jnp.where((dr == 0) & (dc == 1), 3, prio)  # east
+        prio = jnp.where(state.food_active[None, :] & loading[:, None], prio, 99)
+        choice = jnp.argmin(prio, axis=1)  # (N,)
+        has_choice = jnp.min(prio, axis=1) < 99
+        # loader level sums per food
+        picks = has_choice[:, None] & (choice[:, None] == jnp.arange(F)[None, :])  # (N, F)
+        loader_sum = jnp.sum(picks * state.agent_level[:, None], axis=0)  # (F,)
+        collected = state.food_active & (loader_sum >= state.food_level) & (loader_sum > 0)
+        failed = (loader_sum > 0) & ~collected
+
+        # rewards (`lbforaging` ForagingEnv.step loading loop)
+        lvl_f = state.food_level.astype(jnp.float32)
+        gain = picks * collected[None, :] * state.agent_level[:, None].astype(jnp.float32) * lvl_f[None, :]
+        if self.normalize_reward:
+            denom = jnp.maximum(loader_sum.astype(jnp.float32) * state.food_spawned, 1e-9)
+            gain = gain / denom[None, :]
+        reward = jnp.sum(gain, axis=1)
+        if self.penalty:
+            reward = reward - self.penalty * jnp.sum(picks * failed[None, :], axis=1)
+
+        food_active = state.food_active & ~collected
+        t = state.t + 1
+        terminated = jnp.logical_or(~jnp.any(food_active), t >= self.max_episode_steps)
+
+        new_state = state.replace(
+            agent_pos=new_pos,
+            food_active=food_active,
+            food_level=jnp.where(food_active, state.food_level, 0),
+            t=t,
+        )
+        ts = TimeStep(
+            obs=self._make_obs(new_state),
+            reward=reward,
+            stat_reward=reward,
+            terminated=terminated,
+            truncated=jnp.asarray(False),
+            action_mask=self.full_ones_mask(),
+        )
+        return new_state, ts
+
+    # ------------------------------------------------------------ observations
+
+    def _make_obs(self, state: LBFState):
+        """(N, 3*max_food + 3*N): food triples then player triples, visible
+        entries compacted to the front, empty slots (-1, -1, 0)."""
+        N, F, C = self.num_agents, self.max_food, self.cols
+        BIG = self.rows * self.cols + 10
+
+        def one_agent(pos):
+            origin = jnp.maximum(pos - self.sight, 0)  # (2,)
+
+            # foods in row-major order among visible & active
+            vis_f = (
+                state.food_active
+                & (jnp.abs(state.food_pos[:, 0] - pos[0]) <= self.sight)
+                & (jnp.abs(state.food_pos[:, 1] - pos[1]) <= self.sight)
+            )
+            sort_key = jnp.where(
+                vis_f, state.food_pos[:, 0] * C + state.food_pos[:, 1], BIG + jnp.arange(F)
+            )
+            order = jnp.argsort(sort_key)
+            f_vis = vis_f[order]
+            f_pos = state.food_pos[order] - origin[None, :]
+            f_lvl = state.food_level[order]
+            food_feats = jnp.stack(
+                [
+                    jnp.where(f_vis, f_pos[:, 0], -1),
+                    jnp.where(f_vis, f_pos[:, 1], -1),
+                    jnp.where(f_vis, f_lvl, 0),
+                ],
+                axis=-1,
+            )
+
+            # players in index order among visible
+            vis_p = (jnp.abs(state.agent_pos[:, 0] - pos[0]) <= self.sight) & (
+                jnp.abs(state.agent_pos[:, 1] - pos[1]) <= self.sight
+            )
+            p_order = jnp.argsort(jnp.where(vis_p, jnp.arange(N), BIG + jnp.arange(N)))
+            p_vis = vis_p[p_order]
+            p_pos = state.agent_pos[p_order] - origin[None, :]
+            p_lvl = state.agent_level[p_order]
+            player_feats = jnp.stack(
+                [
+                    jnp.where(p_vis, p_pos[:, 0], -1),
+                    jnp.where(p_vis, p_pos[:, 1], -1),
+                    jnp.where(p_vis, p_lvl, 0),
+                ],
+                axis=-1,
+            )
+            return jnp.concatenate([food_feats.reshape(-1), player_feats.reshape(-1)]).astype(
+                jnp.float32
+            )
+
+        return jax.vmap(one_agent)(state.agent_pos)
+
+    # ---------------------------------------------------------------- render
+
+    def render_frame(self, state) -> np.ndarray:
+        """Simple RGB rendering: agents blue, food green (brightness ~ level)."""
+        cell = 16
+        img = np.full((self.rows * cell, self.cols * cell, 3), 30, np.uint8)
+        img[::cell, :, :] = 60
+        img[:, ::cell, :] = 60
+        food_pos = np.asarray(state.food_pos)
+        food_lvl = np.asarray(state.food_level)
+        active = np.asarray(state.food_active)
+        for f in range(self.max_food):
+            if active[f]:
+                r, c = food_pos[f]
+                shade = min(255, 90 + 50 * int(food_lvl[f]))
+                img[r * cell + 3 : (r + 1) * cell - 3, c * cell + 3 : (c + 1) * cell - 3] = (
+                    0,
+                    shade,
+                    0,
+                )
+        pos = np.asarray(state.agent_pos)
+        lvl = np.asarray(state.agent_level)
+        for a in range(self.num_agents):
+            r, c = pos[a]
+            shade = min(255, 90 + 50 * int(lvl[a]))
+            img[r * cell + 2 : (r + 1) * cell - 2, c * cell + 2 : (c + 1) * cell - 2] = (
+                40,
+                40,
+                shade,
+            )
+        return img
+
+
+def parse_lbf_name(name: str) -> LevelBasedForaging:
+    """Parse `Foraging-{S}x{S}-{P}p-{F}f[-coop][-vK]` (optionally prefixed
+    with `lbforaging:`) into an env spec, mirroring the registered ids of the
+    lbforaging package the reference relies on (README.md:76-87)."""
+    base = name.split(":")[-1]
+    parts = base.split("-")
+    assert parts[0] == "Foraging", f"not an lbforaging id: {name}"
+    idx = 1
+    grid_obs = False
+    sight = None
+    if parts[idx].endswith("s") and parts[idx][:-1].isdigit():  # partial obs "Foraging-2s-..."
+        sight = int(parts[idx][:-1])
+        idx += 1
+    size = parts[idx].split("x")
+    rows, cols = int(size[0]), int(size[1])
+    idx += 1
+    assert parts[idx].endswith("p")
+    players = int(parts[idx][:-1])
+    idx += 1
+    assert parts[idx].endswith("f")
+    foods = int(parts[idx][:-1])
+    idx += 1
+    coop = "coop" in parts[idx:]
+    if "grid" in parts[idx:]:
+        grid_obs = True
+    assert not grid_obs, "grid observations not supported yet"
+    return LevelBasedForaging(
+        rows=rows,
+        cols=cols,
+        num_agents=players,
+        max_food=foods,
+        sight=sight if sight is not None else max(rows, cols),
+        force_coop=coop,
+    )
