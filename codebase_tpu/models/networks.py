@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 def orthogonal(key, shape, gain=1.0, dtype=jnp.float32):
     """Orthogonal init matching torch.nn.init.orthogonal_ semantics."""
-    n_rows, n_cols = shape[0], int(jnp.prod(jnp.asarray(shape[1:])))
+    n_rows, n_cols = shape[0], math.prod(shape[1:])
     matrix_shape = (max(n_rows, n_cols), min(n_rows, n_cols))
     a = jax.random.normal(key, matrix_shape, dtype)
     q, r = jnp.linalg.qr(a)

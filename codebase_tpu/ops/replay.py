@@ -1,0 +1,99 @@
+"""On-device episodic replay buffer as an immutable pytree.
+
+Reference: `marlbase/dqn/train.py:19-124` — a numpy ring buffer storing whole
+padded episodes on the host, sampled into torch tensors per update. Here the
+buffer lives in device memory (HBM) as fixed-shape arrays; inserting a batch
+of episodes is a scatter (`.at[idx].set`) and sampling is a `random.randint`
+gather — both inside the jitted train iteration, so the actor->replay->learner
+loop never touches the host.
+
+Layout is episode-major (S slots): obs (S, T+1, N, D), actions/rewards
+(S, T, N), dones (S, T+1), filled (S, T), action_mask (S, T+1, N, A). A slot
+holds exactly one padded episode (the reference's `max_episode_length` slot,
+`dqn/train.py:40-60`); `pos` counts episodes ever added and the write cursor
+is `pos % S` (`dqn/train.py:86-89`).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from codebase_tpu.envs.vector import Rollout
+
+
+@struct.dataclass
+class ReplayState:
+    obs: jnp.ndarray  # (S, T+1, N, D)
+    actions: jnp.ndarray  # (S, T, N) int32
+    rewards: jnp.ndarray  # (S, T, N)
+    dones: jnp.ndarray  # (S, T+1)
+    filled: jnp.ndarray  # (S, T)
+    action_mask: jnp.ndarray  # (S, T+1, N, A)
+    pos: jnp.ndarray  # () int32 — episodes ever added
+
+    @property
+    def size(self) -> int:
+        return self.obs.shape[0]
+
+    @property
+    def num_stored(self):
+        return jnp.minimum(self.pos, self.size)
+
+    def can_sample(self, batch_size: int):
+        """`pos >= batch_size` (`dqn/train.py:91-92`)."""
+        return self.pos >= batch_size
+
+
+def replay_init(
+    size: int, time_limit: int, n_agents: int, obs_dim: int, n_actions: int
+) -> ReplayState:
+    S, T, N, D, A = size, time_limit, n_agents, obs_dim, n_actions
+    return ReplayState(
+        obs=jnp.zeros((S, T + 1, N, D), jnp.float32),
+        actions=jnp.zeros((S, T, N), jnp.int32),
+        rewards=jnp.zeros((S, T, N), jnp.float32),
+        dones=jnp.zeros((S, T + 1), jnp.float32),
+        filled=jnp.zeros((S, T), jnp.float32),
+        action_mask=jnp.ones((S, T + 1, N, A), jnp.float32),
+        pos=jnp.asarray(0, jnp.int32),
+    )
+
+
+def replay_add(state: ReplayState, rollout: Rollout) -> ReplayState:
+    """Insert E padded episodes (time-major rollout -> episode-major slots)."""
+    E = rollout.filled.shape[1]
+    slots = (state.pos + jnp.arange(E, dtype=jnp.int32)) % state.size
+
+    def em(x):  # time-major (T, E, ...) -> episode-major (E, T, ...)
+        return jnp.moveaxis(x, 1, 0)
+
+    return state.replace(
+        obs=state.obs.at[slots].set(em(rollout.obs)),
+        actions=state.actions.at[slots].set(em(rollout.actions)),
+        rewards=state.rewards.at[slots].set(em(rollout.rewards)),
+        dones=state.dones.at[slots].set(em(rollout.dones)),
+        filled=state.filled.at[slots].set(em(rollout.filled)),
+        action_mask=state.action_mask.at[slots].set(em(rollout.action_mask)),
+        pos=state.pos + E,
+    )
+
+
+def replay_sample(state: ReplayState, key, batch_size: int):
+    """Uniform episode sampling (`dqn/train.py:94-124`).
+
+    Returns a dict shaped like the reference `Batch` namedtuple:
+    obss (N, T+1, B, D), actions (N, T, B), rewards (N, T, B), dones (T+1, B),
+    filled (T, B), action_mask (N, T+1, B, A).
+    """
+    idx = jax.random.randint(key, (batch_size,), 0, state.num_stored)
+    obs = state.obs[idx]  # (B, T+1, N, D)
+    return dict(
+        obss=jnp.transpose(obs, (2, 1, 0, 3)),
+        actions=jnp.transpose(state.actions[idx], (2, 1, 0)),
+        rewards=jnp.transpose(state.rewards[idx], (2, 1, 0)),
+        dones=jnp.transpose(state.dones[idx], (1, 0)),
+        filled=jnp.transpose(state.filled[idx], (1, 0)),
+        action_mask=jnp.transpose(state.action_mask[idx], (2, 1, 0, 3)),
+    )

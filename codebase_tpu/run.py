@@ -1,0 +1,63 @@
+"""Train CLI — `python -m codebase_tpu.run +algorithm=idqn env.name=... env.time_limit=25`.
+
+Replaces `marlbase/run.py` (Hydra entry): same override surface
+(README.md:76-93), explicit registry dispatch instead of `_target_` strings,
+run directories `outputs/{env.name}/{algorithm.name}/{hash}` where hash is a
+random 8-hex tag (the reference's `${random:4}` resolver, `run.py:8-11`).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+from pathlib import Path
+
+from codebase_tpu.algos.registry import get_algorithm
+from codebase_tpu.config import load_config
+from codebase_tpu.envs.factory import make_env
+from codebase_tpu.utils.loggers import make_logger
+
+
+def build_envs(cfg):
+    """Build the train env spec and a single-instance eval env spec
+    (the reference strips `parallel_envs` for eval, `run.py:21-27`)."""
+    env_cfg = cfg.env.to_dict() if hasattr(cfg.env, "to_dict") else dict(cfg.env)
+    env_cfg.pop("parallel_envs", None)
+    name = env_cfg.pop("name")
+    env = make_env(name, **env_cfg)
+    return env, env  # specs are pure; the same spec serves train and eval
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
+    cfg = load_config(argv if argv is not None else sys.argv[1:])
+
+    assert cfg.env.get("name"), "env.name must be set"
+    assert cfg.env.get("time_limit"), "Time limit must be set."
+    assert "name" in cfg.algorithm, "select an algorithm with +algorithm=<name>"
+
+    run_dir = cfg.get("run_dir")
+    if not run_dir:
+        tag = os.urandom(4).hex()
+        run_dir = Path("outputs") / str(cfg.env.name).replace(":", "_") / cfg.algorithm.name / tag
+    run_dir = Path(run_dir)
+    run_dir.mkdir(parents=True, exist_ok=True)
+
+    logger = make_logger(cfg, run_dir)
+    env, eval_env = build_envs(cfg)
+
+    if cfg.get("seed") is None:
+        logger.warning("No seed has been set.")
+
+    # move parallel_envs into the algorithm node (rollout width)
+    if "parallel_envs" in cfg.env:
+        cfg.algorithm.parallel_envs = int(cfg.env.parallel_envs)
+
+    algo = get_algorithm(cfg.algorithm.name)
+    algo(env, eval_env, logger, int(cfg.env.time_limit), cfg)
+    return logger.get_state()
+
+
+if __name__ == "__main__":
+    main()

@@ -14,4 +14,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platform_name", "cpu")
+# The axon TPU plugin ignores JAX_PLATFORMS; the config flag takes precedence.
+jax.config.update("jax_platforms", "cpu")
