@@ -1,0 +1,88 @@
+"""AC-family training driver: python composition layer over the jitted core.
+
+Replaces `marlbase/ac/train.py:155-206` (`main`). Logged episode statistics
+come from the training rollouts themselves, exactly like the reference
+(which harvests `final_info` from its collection loop rather than running a
+separate eval, `ac/train.py:101-110,184-185`).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from codebase_tpu.algos.ac import build_train_functions
+from codebase_tpu.utils.checkpoint import save_checkpoint
+
+
+def _episode_infos(returns: np.ndarray, lengths: np.ndarray) -> list:
+    infos = []
+    for e in range(returns.shape[0]):
+        info = {"episode_returns": returns[e], "episode_length": float(lengths[e])}
+        for i in range(returns.shape[1]):
+            info[f"agent{i}/episode_returns"] = float(returns[e, i])
+        infos.append(info)
+    return infos
+
+
+def main(env, eval_env, logger, time_limit, cfg):
+    acfg = cfg.algorithm
+    model, init_state, train_chunk, evaluate = build_train_functions(
+        env, eval_env, acfg, time_limit
+    )
+    logger.watch(model)
+
+    seed = cfg.get("seed")
+    key = jax.random.PRNGKey(int(seed) if seed is not None else np.random.randint(2**31 - 1))
+    key, k_init = jax.random.split(key)
+    state = init_state(k_init)
+
+    total_steps = int(acfg.total_steps)
+    eval_interval = int(acfg.eval_interval) if acfg.eval_interval else 0
+    save_interval = int(acfg.save_interval) if acfg.save_interval else 0
+    video_interval = int(acfg.video_interval) if acfg.video_interval else 0
+    n_envs = int(acfg.get("parallel_envs", 1))
+
+    max_steps_per_iter = n_envs * time_limit
+    chunk_iters = max(1, (eval_interval or 10_000) // max_steps_per_iter)
+    chunk_iters = min(chunk_iters, 256)
+
+    run_dir = Path(getattr(logger, "run_dir", "."))
+    last_eval = last_save = last_video = 0
+    step = 0
+    while step < total_steps + 1:
+        state, metrics = train_chunk(state, chunk_iters)
+        step = int(state.env_steps)
+        updates = int(state.updates)
+
+        if eval_interval and (step - last_eval) >= eval_interval:
+            # log the final iteration's episode batch, mirroring the
+            # reference's per-collection infos (`ac/train.py:171-185`)
+            returns = np.asarray(metrics["episode_returns"])[-1]  # (E, N)
+            lengths = np.asarray(metrics["episode_lengths"])[-1]  # (E,)
+            infos = _episode_infos(returns, lengths)
+            infos.append(
+                {k: float(np.asarray(metrics[k])[-1]) for k in ("loss", "actor_loss", "value_loss", "entropy")}
+            )
+            infos.append({"updates": updates, "environment_steps": step})
+            logger.log_metrics(infos)
+            last_eval = step
+
+        if video_interval and (step - last_video) >= video_interval:
+            from codebase_tpu.utils.video import record_episodes
+
+            record_episodes(
+                eval_env,
+                model.policy(state.params["actor"]),
+                int(acfg.video_frames),
+                run_dir / "videos" / f"step-{step}.mp4",
+            )
+            last_video = step
+
+        if save_interval and (step - last_save) >= save_interval:
+            save_checkpoint(run_dir / "checkpoints" / f"model_s{step}.pkl", state)
+            last_save = step
+
+    return state

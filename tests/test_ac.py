@@ -1,0 +1,138 @@
+"""Tests for the actor-critic family: loss semantics and learning."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from codebase_tpu.algos.ac import ACModel, build_train_functions
+from codebase_tpu.config import load_config
+from codebase_tpu.envs.factory import make_env
+from codebase_tpu.envs.vector import collect_episodes
+
+
+def make_cfg(algo="ia2c", **over):
+    argv = [f"+algorithm={algo}"] + [f"{k}={v}" for k, v in over.items()]
+    return load_config(argv)
+
+
+def _rollout(env, model, params, key, n_envs=5, T=6):
+    return collect_episodes(
+        env, model.policy(params["actor"]), None, key, n_envs, T
+    )[0]
+
+
+class TestACModel:
+    def test_centralised_critic_input_dim(self):
+        env = make_env("Foraging-8x8-2p-3f-v3", time_limit=25)
+        cfg = make_cfg("maa2c")
+        model = ACModel.create(env, cfg.algorithm.model, cfg.algorithm)
+        assert model.centralised_critic
+        assert model.critic.input_sizes == (30, 30)
+        cfg2 = make_cfg("ia2c")
+        model2 = ACModel.create(env, cfg2.algorithm.model, cfg2.algorithm)
+        assert model2.critic.input_sizes == (15, 15)
+
+    def test_a2c_loss_matches_numpy_oracle(self):
+        """Oracle transcription of `ac/model.py:189-231`."""
+        env = make_env("Foraging-8x8-2p-2f-v3", time_limit=6)
+        cfg = make_cfg("ia2c")
+        model = ACModel.create(env, cfg.algorithm.model, cfg.algorithm)
+        params = model.init_params(jax.random.PRNGKey(0))
+        rollout = _rollout(env, model, params, jax.random.PRNGKey(1))
+
+        obs_agents = jnp.moveaxis(rollout.obs, 2, 0)
+        amask = jnp.moveaxis(rollout.action_mask, 2, 0)
+        returns, _ = model.compute_returns(
+            params["critic"], obs_agents, rollout.rewards, rollout.dones, model.init_rms()
+        )
+        loss, metrics = model.a2c_loss(
+            params, returns, obs_agents[:, :-1], rollout.actions, amask[:, :-1], rollout.filled
+        )
+
+        # numpy oracle
+        values = np.asarray(model.values(params["critic"], obs_agents[:, :-1]))
+        lp, ent = model.log_probs_entropy(
+            params["actor"], obs_agents[:, :-1], rollout.actions, amask[:, :-1]
+        )
+        lp, ent = np.asarray(lp), np.asarray(ent)
+        ret = np.asarray(returns)
+        filled = np.asarray(rollout.filled)
+        adv = ret - values
+        fsum = filled.sum()
+        actor_loss = ((-(lp * adv).sum(-1) - 0.001 * ent) * filled).sum() / fsum
+        value_loss = (((ret - values) ** 2).sum(-1) * filled).sum() / fsum
+        expected = actor_loss + 0.5 * value_loss
+        np.testing.assert_allclose(float(loss), expected, rtol=1e-4)
+        np.testing.assert_allclose(float(metrics["value_loss"]), value_loss, rtol=1e-4)
+
+    def test_ppo_first_epoch_equals_a2c_policy_grad_direction(self):
+        """With ratio=1 (epoch 0), the clipped surrogate equals the vanilla
+        pg objective, so the losses must match up to the entropy/value terms."""
+        env = make_env("Foraging-8x8-2p-2f-v3", time_limit=6)
+        cfg = make_cfg("ippo")
+        model = ACModel.create(env, cfg.algorithm.model, cfg.algorithm)
+        params = model.init_params(jax.random.PRNGKey(0))
+        rollout = _rollout(env, model, params, jax.random.PRNGKey(1))
+        obs_agents = jnp.moveaxis(rollout.obs, 2, 0)
+        amask = jnp.moveaxis(rollout.action_mask, 2, 0)
+        returns, _ = model.compute_returns(
+            params["critic"], obs_agents, rollout.rewards, rollout.dones, model.init_rms()
+        )
+        obs_in, amask_in = obs_agents[:, :-1], amask[:, :-1]
+        old_lp, _ = model.log_probs_entropy(params["actor"], obs_in, rollout.actions, amask_in)
+        ppo_loss, _ = model.ppo_loss(
+            params, returns, old_lp, obs_in, rollout.actions, amask_in, rollout.filled
+        )
+        # analytic: -min(1*A, clip(1)*A) == -A; a2c actor term is -logp*A which
+        # differs, but the VALUE loss and entropy are identical — compare the
+        # full losses via their decomposition instead
+        _, m = model.ppo_loss(
+            params, returns, old_lp, obs_in, rollout.actions, amask_in, rollout.filled
+        )
+        _, m2 = model.a2c_loss(
+            params, returns, obs_in, rollout.actions, amask_in, rollout.filled
+        )
+        np.testing.assert_allclose(
+            float(m["value_loss"]), float(m2["value_loss"]), rtol=1e-5
+        )
+        np.testing.assert_allclose(float(m["entropy"]), float(m2["entropy"]), rtol=1e-5)
+        assert np.isfinite(float(ppo_loss))
+
+
+class TestEndToEnd:
+    @pytest.mark.parametrize("algo", ["ia2c", "mappo"])
+    def test_learns_matrix_coordination(self, algo):
+        env = make_env("matrix-coordination", time_limit=1)
+        cfg = make_cfg(
+            algo,
+            **{
+                "algorithm.total_steps": 3000,
+                "algorithm.lr": 1e-2,
+                "algorithm.entropy_coef": 0.01,
+                "algorithm.target_update_interval_or_tau": 0.2,
+            },
+        )
+        cfg.algorithm.parallel_envs = 32
+        model, init_state, train_chunk, evaluate = build_train_functions(
+            env, env, cfg.algorithm, time_limit=1
+        )
+        state = init_state(jax.random.PRNGKey(0))
+        for _ in range(10):
+            state, metrics = train_chunk(state, 10)
+        out = evaluate(state.params, jax.random.PRNGKey(1))
+        mean_return = float(np.asarray(out["episode_returns"]).sum(-1).mean())
+        assert mean_return > 1.5, f"{algo} failed to learn coordination: {mean_return}"
+
+    def test_train_chunk_runs_lbf(self):
+        env = make_env("Foraging-8x8-2p-3f-v3", time_limit=25)
+        cfg = make_cfg("ippo")
+        cfg.algorithm.parallel_envs = 10
+        model, init_state, train_chunk, evaluate = build_train_functions(
+            env, env, cfg.algorithm, time_limit=25
+        )
+        state = init_state(jax.random.PRNGKey(0))
+        state, metrics = train_chunk(state, 2)
+        assert int(state.env_steps) > 0
+        assert int(state.updates) == 2
+        assert np.isfinite(np.asarray(metrics["loss"])).all()
