@@ -1,0 +1,67 @@
+"""Headline benchmark: IDQN training throughput on Level-Based Foraging.
+
+Measures env-steps/s of the full fused train loop (epsilon-greedy rollouts of
+8192 vmapped Foraging-8x8-2p-3f envs, on-device episodic replay, double-Q
+updates, target maintenance) on one chip — the BASELINE.json north-star
+metric (target: >= 1,000,000 env-steps/s per chip).
+
+The reference measures the same quantity as "FPS" at runtime
+(`marlbase/utils/loggers.py:69-71`) while stepping ONE Gymnasium env in
+python (typically a few thousand steps/s on CPU); it publishes no numbers
+(BASELINE.md).
+
+Prints exactly one JSON line:
+    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+vs_baseline = value / 1e6 (the BASELINE.json target).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+
+
+def main():
+    from codebase_tpu.algos.dqn import build_train_functions
+    from codebase_tpu.config import load_config
+    from codebase_tpu.envs.factory import make_env
+
+    env = make_env("lbforaging:Foraging-8x8-2p-3f-v3", time_limit=25)
+    cfg = load_config(["+algorithm=idqn"])
+    cfg.algorithm.parallel_envs = 8192
+    cfg.algorithm.batch_size = 512
+    cfg.algorithm.updates_per_collect = 8
+    cfg.algorithm.buffer_size = 16384
+    cfg.algorithm.training_start = 0
+
+    _, init_state, train_chunk, _ = build_train_functions(env, env, cfg.algorithm, 25)
+    state = init_state(jax.random.PRNGKey(0))
+
+    # warm up + compile; int() forces a real device sync (block_until_ready
+    # alone does not reliably block through the axon tunnel)
+    state, _ = train_chunk(state, 8)
+    s0 = int(state.env_steps)
+
+    t0 = time.time()
+    state, _ = train_chunk(state, 8)
+    state, _ = train_chunk(state, 8)
+    steps = int(state.env_steps) - s0
+    dt = time.time() - t0
+
+    value = steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": "idqn_train_env_steps_per_s",
+                "value": round(value, 1),
+                "unit": "env-steps/s/chip",
+                "vs_baseline": round(value / 1e6, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -221,9 +221,18 @@ class ACModel:
         return loss, metrics
 
 
-def build_train_functions(env: Environment, eval_env: Environment, cfg, time_limit: int):
-    """Construct (model, init_state, train_chunk, evaluate)."""
+def build_train_functions(
+    env: Environment, eval_env: Environment, cfg, time_limit: int, mesh=None
+):
+    """Construct (model, init_state, train_chunk, evaluate). With a `mesh`,
+    the env batch axis of rollouts shards over the data axis; params stay
+    replicated and XLA reduces gradients with psum collectives."""
     acfg = cfg
+    env_sharding = None
+    if mesh is not None:
+        from codebase_tpu.parallel.mesh import env_axis_sharding
+
+        env_sharding = env_axis_sharding(mesh)
     model = ACModel.create(env, acfg.model, acfg)
     n_envs = int(acfg.get("parallel_envs", 1))
     tau = float(acfg.target_update_interval_or_tau)
@@ -307,6 +316,7 @@ def build_train_functions(env: Environment, eval_env: Environment, cfg, time_lim
             n_envs,
             time_limit,
             bool(acfg.use_proper_termination),
+            env_sharding=env_sharding,
         )
         state, metrics = update(state.replace(key=key), rollout, k_upd)
         # step accounting: t_max * parallel_envs (`ac/train.py:204`)

@@ -220,16 +220,28 @@ class DQNModel:
         return loss, ret_rms
 
 
-def build_train_functions(env: Environment, eval_env: Environment, cfg, time_limit: int):
+def build_train_functions(
+    env: Environment, eval_env: Environment, cfg, time_limit: int, mesh=None
+):
     """Construct (init_state, train_chunk(state, iters), evaluate(state, key)).
 
     cfg is the `algorithm` config node. Exposed separately from `main` for
-    tests and benchmarking.
+    tests and benchmarking. With a `mesh`, the env batch and replay buffer
+    shard over the mesh's data axis and XLA inserts the psum gradient sync
+    (see `codebase_tpu/parallel/mesh.py`).
     """
     acfg = cfg
+    env_sharding = None
+    if mesh is not None:
+        from codebase_tpu.parallel.mesh import env_axis_sharding
+
+        env_sharding = env_axis_sharding(mesh)
     model = DQNModel.create(env, acfg.model, acfg)
     n_envs = int(acfg.get("parallel_envs", 1))
     batch_size = int(acfg.batch_size)
+    # round the episode capacity up to a multiple of the insert width so ring
+    # inserts stay a single contiguous slice (see `ops/replay.py::replay_add`)
+    buffer_size = -(-int(acfg.buffer_size) // n_envs) * n_envs
     updates_per_collect = acfg.get("updates_per_collect", "auto")
     n_updates = n_envs if updates_per_collect == "auto" else int(updates_per_collect)
     tau = float(acfg.target_update_interval_or_tau)
@@ -244,7 +256,7 @@ def build_train_functions(env: Environment, eval_env: Environment, cfg, time_lim
     )
 
     @jax.jit
-    def init_state(key) -> DQNTrainState:
+    def _init_state(key) -> DQNTrainState:
         k_model, k_loop = jax.random.split(key)
         params = model.init_params(k_model)
         return DQNTrainState(
@@ -252,7 +264,7 @@ def build_train_functions(env: Environment, eval_env: Environment, cfg, time_lim
             target_params=jax.tree.map(jnp.copy, params),
             opt_state=opt.init(params),
             buffer=replay_init(
-                int(acfg.buffer_size), time_limit, env.n_agents, env.obs_dim, env.n_actions
+                buffer_size, time_limit, env.n_agents, env.obs_dim, env.n_actions
             ),
             ret_rms=model.init_rms(),
             key=k_loop,
@@ -260,6 +272,14 @@ def build_train_functions(env: Environment, eval_env: Environment, cfg, time_lim
             updates=jnp.asarray(0, jnp.int32),
             last_target_update=jnp.asarray(0, jnp.int32),
         )
+
+    def init_state(key) -> DQNTrainState:
+        state = _init_state(key)
+        if mesh is not None:
+            from codebase_tpu.parallel.mesh import dqn_state_shardings
+
+            state = jax.device_put(state, dqn_state_shardings(state, mesh))
+        return state
 
     def make_update_step(buffer):
         """One sampled gradient update; the (read-only) buffer is closed over
@@ -296,6 +316,7 @@ def build_train_functions(env: Environment, eval_env: Environment, cfg, time_lim
             n_envs,
             time_limit,
             bool(acfg.use_proper_termination),
+            env_sharding=env_sharding,
         )
         buffer = replay_add(state.buffer, rollout)
         env_steps = state.env_steps + rollout.env_steps.astype(jnp.int32)

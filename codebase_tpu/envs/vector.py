@@ -71,6 +71,7 @@ def collect_episodes(
     n_envs: int,
     time_limit: int,
     use_proper_termination: bool = False,
+    env_sharding=None,
 ):
     """Collect one full (padded) episode from each of `n_envs` instances.
 
@@ -91,13 +92,21 @@ def collect_episodes(
         (Rollout, final policy carry)
     """
     k_reset, k_scan = jax.random.split(key)
-    states, ts0 = jax.vmap(env.reset)(jax.random.split(k_reset, n_envs))
+    reset_keys = jax.random.split(k_reset, n_envs)
+    if env_sharding is not None:
+        # pin the env batch axis to the mesh's data axis; GSPMD propagates
+        # the sharding through the vmapped step and everything derived
+        reset_keys = jax.lax.with_sharding_constraint(reset_keys, env_sharding)
+    states, ts0 = jax.vmap(env.reset)(reset_keys)
 
     def step_fn(carry, k):
         states, ts, running, pol_carry = carry
         k_act, k_env = jax.random.split(k)
         pol_carry, actions = policy(pol_carry, ts.obs, ts.action_mask, k_act)
-        new_states, new_ts = jax.vmap(env.step)(states, actions, jax.random.split(k_env, n_envs))
+        step_keys = jax.random.split(k_env, n_envs)
+        if env_sharding is not None:
+            step_keys = jax.lax.with_sharding_constraint(step_keys, env_sharding)
+        new_states, new_ts = jax.vmap(env.step)(states, actions, step_keys)
 
         done = new_ts.done  # (E,)
         if use_proper_termination:

@@ -62,20 +62,39 @@ def replay_init(
 
 
 def replay_add(state: ReplayState, rollout: Rollout) -> ReplayState:
-    """Insert E padded episodes (time-major rollout -> episode-major slots)."""
+    """Insert E padded episodes (time-major rollout -> episode-major slots).
+
+    When the buffer size is a multiple of E (enforced by the train builders),
+    the ring cursor is always block-aligned and the insert is ONE contiguous
+    `dynamic_update_slice` — a straight DMA burst. A scatter with E dynamic
+    indices would serialise into per-row updates on TPU (orders of magnitude
+    slower); the scatter path remains only as a fallback for odd sizes.
+    """
     E = rollout.filled.shape[1]
-    slots = (state.pos + jnp.arange(E, dtype=jnp.int32)) % state.size
 
     def em(x):  # time-major (T, E, ...) -> episode-major (E, T, ...)
         return jnp.moveaxis(x, 1, 0)
 
+    if state.size % E == 0:
+        start = state.pos % state.size
+
+        def ins(buf, val):
+            idx = (start,) + (jnp.zeros((), jnp.int32),) * (buf.ndim - 1)
+            return jax.lax.dynamic_update_slice(buf, val.astype(buf.dtype), idx)
+
+    else:
+        slots = (state.pos + jnp.arange(E, dtype=jnp.int32)) % state.size
+
+        def ins(buf, val):
+            return buf.at[slots].set(val.astype(buf.dtype))
+
     return state.replace(
-        obs=state.obs.at[slots].set(em(rollout.obs)),
-        actions=state.actions.at[slots].set(em(rollout.actions)),
-        rewards=state.rewards.at[slots].set(em(rollout.rewards)),
-        dones=state.dones.at[slots].set(em(rollout.dones)),
-        filled=state.filled.at[slots].set(em(rollout.filled)),
-        action_mask=state.action_mask.at[slots].set(em(rollout.action_mask)),
+        obs=ins(state.obs, em(rollout.obs)),
+        actions=ins(state.actions, em(rollout.actions)),
+        rewards=ins(state.rewards, em(rollout.rewards)),
+        dones=ins(state.dones, em(rollout.dones)),
+        filled=ins(state.filled, em(rollout.filled)),
+        action_mask=ins(state.action_mask, em(rollout.action_mask)),
         pos=state.pos + E,
     )
 
