@@ -24,6 +24,9 @@ import jax
 
 
 def main():
+    from codebase_tpu.utils.compilation_cache import enable as enable_cache
+
+    enable_cache()
     from codebase_tpu.algos.dqn import build_train_functions
     from codebase_tpu.config import load_config
     from codebase_tpu.envs.factory import make_env

@@ -1,0 +1,408 @@
+"""Multi-Robot Warehouse (RWARE) as a pure-JAX environment.
+
+The reference wraps the external `rware` package (`README.md:72`,
+`pyproject` extra) — it is not vendored there. This re-implements the
+published RWARE rules (semitable/robotic-warehouse, env ids
+`rware:rware-{tiny,small,medium,large}-{N}ag[-easy|-hard]-v2`) as a
+fixed-shape JAX step function:
+
+- Grid: shelf blocks of 2-cell-wide columns, `column_height` tall, arranged
+  in `shelf_rows` x `shelf_columns` blocks separated by 1-cell highways; a
+  delivery row at the bottom with two goal cells in the middle.
+- Agents: position + facing direction; actions NOOP=0, FORWARD=1, LEFT=2,
+  RIGHT=3, TOGGLE_LOAD=4. Rotations are free; FORWARD moves one cell.
+- Shelves: live on storage cells; a TOGGLE_LOAD on a shelf cell picks the
+  shelf up, a TOGGLE_LOAD on an empty storage cell puts it down (never on a
+  highway). Agents carrying a shelf cannot pass under stored shelves;
+  unloaded agents can.
+- Requests: a queue of `request_queue_size` requested shelves; delivering a
+  carried requested shelf onto a goal cell yields reward 1 (individual by
+  default — the delivering agent scores) and the request is replaced by a
+  uniformly sampled unrequested shelf.
+- Movement conflicts: simultaneous moves resolve with chains allowed
+  (an agent may move into a cell being vacated); movers contending for one
+  cell resolve lowest-index-first; movers blocked by stationary agents stop
+  and may block others (fixed-point iteration). This reproduces the
+  original's graph-based resolution except that the original also blocks
+  pure swap/rotation cycles; cycles are rare in practice and allowed here
+  (documented divergence).
+- Episodes have no terminal condition (the reference relies on
+  `TimeLimit(500)`); `max_steps` terminates as a backstop.
+
+Observations (sensor_range=1, msg_bits=0) use the flat layout of the
+original: 8 self features [y, x, carrying, dir-onehot(4), on_highway] +
+9 cells x [has_agent, dir-onehot(4)] + 9 cells x [has_shelf, requested]
+= 71 features for the default sensor range.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from codebase_tpu.envs.api import Environment, TimeStep
+
+NOOP, FORWARD, LEFT, RIGHT, TOGGLE_LOAD = range(5)
+# direction: 0=up, 1=down, 2=left, 3=right (row, col deltas)
+_DIR_DELTAS = np.array([[-1, 0], [1, 0], [0, -1], [0, 1]], dtype=np.int32)
+# rotation tables: new_dir = table[dir]
+_LEFT_OF = np.array([2, 3, 1, 0], dtype=np.int32)  # up->left, down->right, left->down, right->up
+_RIGHT_OF = np.array([3, 2, 0, 1], dtype=np.int32)  # up->right, down->left, left->up, right->down
+
+SIZES = {  # name -> (shelf_rows, shelf_columns)
+    "tiny": (1, 3),
+    "small": (2, 3),
+    "medium": (2, 5),
+    "large": (3, 5),
+}
+
+
+@struct.dataclass
+class RWAREState:
+    agent_pos: jnp.ndarray  # (N, 2) int32
+    agent_dir: jnp.ndarray  # (N,) int32
+    carrying: jnp.ndarray  # (N,) int32 shelf index, -1 if none
+    shelf_loc: jnp.ndarray  # (S, 2) int32 — storage location while not carried
+    shelf_carried: jnp.ndarray  # (S,) bool
+    requested: jnp.ndarray  # (S,) bool
+    t: jnp.ndarray  # () int32
+
+
+@dataclass(frozen=True)
+class RWARE(Environment):
+    shelf_rows: int = 1
+    shelf_columns: int = 3
+    column_height: int = 8
+    num_agents: int = 2
+    request_queue_size: int = 2
+    sensor_range: int = 1
+    max_steps: int = 500
+    individual_reward: bool = True
+
+    # ------------------------------------------------------------ geometry
+
+    @property
+    def rows(self) -> int:
+        return (self.column_height + 1) * self.shelf_rows + 2
+
+    @property
+    def cols(self) -> int:
+        return 3 * self.shelf_columns + 1
+
+    @property
+    def n_shelves(self) -> int:
+        return self.shelf_rows * self.shelf_columns * 2 * self.column_height
+
+    @property
+    def n_agents(self) -> int:
+        return self.num_agents
+
+    @property
+    def n_actions(self) -> int:
+        return 5
+
+    @property
+    def obs_dim(self) -> int:
+        w = 2 * self.sensor_range + 1
+        return 8 + w * w * 5 + w * w * 2
+
+    def _storage_grid(self) -> np.ndarray:
+        """(R, C) bool — True on shelf storage cells."""
+        grid = np.zeros((self.rows, self.cols), bool)
+        for br in range(self.shelf_rows):
+            r0 = br * (self.column_height + 1) + 1
+            for bc in range(self.shelf_columns):
+                c0 = 3 * bc + 1
+                grid[r0 : r0 + self.column_height, c0 : c0 + 2] = True
+        return grid
+
+    def _goal_cells(self) -> np.ndarray:
+        c = self.cols // 2
+        return np.array([[self.rows - 1, c - 1], [self.rows - 1, c]], np.int32)
+
+    def _storage_locations(self) -> np.ndarray:
+        """(S, 2) int32 — canonical shelf home cells, row-major."""
+        return np.argwhere(self._storage_grid()).astype(np.int32)
+
+    # --------------------------------------------------------------- reset
+
+    def reset(self, key):
+        k_pos, k_dir, k_req = jax.random.split(key, 3)
+        N, S = self.num_agents, self.n_shelves
+        R, C = self.rows, self.cols
+
+        # agents spawn on distinct random cells anywhere on the grid
+        cells = jax.random.choice(k_pos, R * C, (N,), replace=False)
+        agent_pos = jnp.stack([cells // C, cells % C], axis=-1).astype(jnp.int32)
+        agent_dir = jax.random.randint(k_dir, (N,), 0, 4, jnp.int32)
+
+        shelf_loc = jnp.asarray(self._storage_locations())
+        req_idx = jax.random.choice(k_req, S, (self.request_queue_size,), replace=False)
+        requested = jnp.zeros((S,), bool).at[req_idx].set(True)
+
+        state = RWAREState(
+            agent_pos=agent_pos,
+            agent_dir=agent_dir,
+            carrying=jnp.full((N,), -1, jnp.int32),
+            shelf_loc=shelf_loc,
+            shelf_carried=jnp.zeros((S,), bool),
+            requested=requested,
+            t=jnp.asarray(0, jnp.int32),
+        )
+        zeros = jnp.zeros((N,), jnp.float32)
+        ts = TimeStep(
+            obs=self._make_obs(state),
+            reward=zeros,
+            stat_reward=zeros,
+            terminated=jnp.asarray(False),
+            truncated=jnp.asarray(False),
+            action_mask=self.full_ones_mask(),
+        )
+        return state, ts
+
+    # ---------------------------------------------------------------- step
+
+    def step(self, state: RWAREState, actions, key):
+        N, S = self.num_agents, self.n_shelves
+        R, C = self.rows, self.cols
+        actions = jnp.asarray(actions, jnp.int32)
+        storage = jnp.asarray(self._storage_grid())
+        goals = jnp.asarray(self._goal_cells())
+
+        # --- rotations
+        agent_dir = jnp.where(
+            actions == LEFT,
+            jnp.asarray(_LEFT_OF)[state.agent_dir],
+            jnp.where(actions == RIGHT, jnp.asarray(_RIGHT_OF)[state.agent_dir], state.agent_dir),
+        )
+
+        # grid of UNCARRIED shelves (blocks loaded agents)
+        stored_grid = (
+            jnp.zeros((R, C), bool)
+            .at[state.shelf_loc[:, 0], state.shelf_loc[:, 1]]
+            .max(~state.shelf_carried)
+        )
+
+        # --- forward movement with chain-aware conflict resolution
+        deltas = jnp.asarray(_DIR_DELTAS)[agent_dir]
+        raw_target = state.agent_pos + deltas
+        in_bounds = (
+            (raw_target[:, 0] >= 0)
+            & (raw_target[:, 0] < R)
+            & (raw_target[:, 1] >= 0)
+            & (raw_target[:, 1] < C)
+        )
+        clipped = jnp.clip(raw_target, 0, jnp.asarray([R - 1, C - 1]))
+        loaded = state.carrying >= 0
+        onto_shelf = stored_grid[clipped[:, 0], clipped[:, 1]]
+        valid = in_bounds & (~loaded | ~onto_shelf)
+        move = (actions == FORWARD) & valid
+        target = jnp.where(move[:, None], clipped, state.agent_pos)
+        tcell = target[:, 0] * C + target[:, 1]
+
+        # contention: among movers with the same target, lowest index wins
+        idx = jnp.arange(N)
+        same = tcell[None, :] == tcell[:, None]
+        earlier_mover = same & move[None, :] & (idx[None, :] < idx[:, None])
+        move = move & ~jnp.any(earlier_mover, axis=1)
+
+        # fixed point: movers blocked by (now-)stationary agents stop too
+        pcell = state.agent_pos[:, 0] * C + state.agent_pos[:, 1]
+
+        def fix(_, move):
+            stay_cells = jnp.where(move, -1, pcell)  # cells of stationary agents
+            blocked = jnp.any(tcell[:, None] == stay_cells[None, :], axis=1)
+            return move & ~blocked
+
+        move = jax.lax.fori_loop(0, N, fix, move)
+        new_pos = jnp.where(move[:, None], target, state.agent_pos)
+
+        # --- toggle load/unload
+        toggling = actions == TOGGLE_LOAD
+        # shelf (uncarried) under the agent, -1 if none
+        shelf_id_grid = (
+            jnp.full((R, C), -1, jnp.int32)
+            .at[state.shelf_loc[:, 0], state.shelf_loc[:, 1]]
+            .max(jnp.where(~state.shelf_carried, jnp.arange(S, dtype=jnp.int32), -1))
+        )
+        under = shelf_id_grid[new_pos[:, 0], new_pos[:, 1]]  # (N,)
+        pickup = toggling & ~loaded & (under >= 0)
+        # resolve two agents picking the same shelf: lowest index wins
+        same_shelf = (under[None, :] == under[:, None]) & pickup[None, :] & (idx[None, :] < idx[:, None])
+        pickup = pickup & ~jnp.any(same_shelf, axis=1)
+
+        on_storage = storage[new_pos[:, 0], new_pos[:, 1]]
+        cell_free = under < 0  # no stored shelf here
+        putdown = toggling & loaded & on_storage & cell_free
+
+        carrying = jnp.where(pickup, under, state.carrying)
+        carrying = jnp.where(putdown, -1, carrying)
+
+        carried_mask_new = jnp.zeros((S,), bool).at[jnp.where(pickup, under, S)].set(True, mode="drop")
+        released_ids = jnp.where(putdown, state.carrying, S)
+        shelf_carried = (state.shelf_carried | carried_mask_new).at[released_ids].set(
+            False, mode="drop"
+        )
+        # released shelves land where the agent stands; carried shelves track
+        # the carrier (kept in sync for observations)
+        shelf_loc = state.shelf_loc.at[released_ids].set(new_pos, mode="drop")
+        carrier_ids = jnp.where(carrying >= 0, carrying, S)
+        shelf_loc = shelf_loc.at[carrier_ids].set(new_pos, mode="drop")
+
+        # --- deliveries: carried + requested + on a goal cell
+        on_goal = jnp.any(
+            jnp.all(new_pos[:, None, :] == goals[None, :, :], axis=-1), axis=1
+        )  # (N,)
+        carried_shelf = jnp.where(carrying >= 0, carrying, 0)
+        carried_requested = jnp.where(carrying >= 0, state.requested[carried_shelf], False)
+        delivered = on_goal & carried_requested  # (N,)
+
+        if self.individual_reward:
+            reward = delivered.astype(jnp.float32)
+        else:
+            reward = jnp.full((N,), jnp.sum(delivered).astype(jnp.float32))
+
+        # retire fulfilled requests, then sample replacements uniformly from
+        # unrequested shelves (sequential over the small agent count)
+        requested = state.requested.at[jnp.where(delivered, carried_shelf, S)].set(
+            False, mode="drop"
+        )
+
+        def resample(i, carry):
+            requested, k = carry
+            k, k2 = jax.random.split(k)
+            logits = jnp.where(requested, -jnp.inf, 0.0)
+            new_req = jax.random.categorical(k2, logits)
+            requested = requested.at[jnp.where(delivered[i], new_req, S)].set(True, mode="drop")
+            return requested, k
+
+        requested, _ = jax.lax.fori_loop(0, N, resample, (requested, key))
+
+        t = state.t + 1
+        new_state = RWAREState(
+            agent_pos=new_pos,
+            agent_dir=agent_dir,
+            carrying=carrying,
+            shelf_loc=shelf_loc,
+            shelf_carried=shelf_carried,
+            requested=requested,
+            t=t,
+        )
+        ts = TimeStep(
+            obs=self._make_obs(new_state),
+            reward=reward,
+            stat_reward=reward,
+            terminated=t >= self.max_steps,
+            truncated=jnp.asarray(False),
+            action_mask=self.full_ones_mask(),
+        )
+        return new_state, ts
+
+    # ------------------------------------------------------------ observations
+
+    def _make_obs(self, state: RWAREState):
+        N, S = self.num_agents, self.n_shelves
+        R, C = self.rows, self.cols
+        sr = self.sensor_range
+        w = 2 * sr + 1
+        storage = jnp.asarray(self._storage_grid())
+        highway = ~storage  # delivery row and aisles
+
+        # padded grids for windowed reads
+        agent_grid = jnp.zeros((R, C), jnp.int32).at[
+            state.agent_pos[:, 0], state.agent_pos[:, 1]
+        ].set(1 + jnp.arange(N, dtype=jnp.int32))
+        # shelf grid (includes carried shelves at their carrier's position)
+        shelf_here = jnp.zeros((R, C), bool).at[state.shelf_loc[:, 0], state.shelf_loc[:, 1]].set(
+            True
+        )
+        req_grid = (
+            jnp.zeros((R, C), bool)
+            .at[state.shelf_loc[:, 0], state.shelf_loc[:, 1]]
+            .max(state.requested)
+        )
+
+        agent_pad = jnp.pad(agent_grid, sr)
+        shelf_pad = jnp.pad(shelf_here, sr)
+        req_pad = jnp.pad(req_grid, sr)
+
+        def one_agent(pos, direction, carrying):
+            r, c = pos[0], pos[1]
+
+            def window(grid):
+                return jax.lax.dynamic_slice(grid, (r, c), (w, w))  # padded: origin shifts by sr
+
+            a_win = window(agent_pad).reshape(-1)  # (w*w,) agent ids + 1
+            has_agent = (a_win > 0).astype(jnp.float32)
+            dir_win = jnp.where(a_win > 0, state.agent_dir[jnp.maximum(a_win - 1, 0)], -1)
+            dir_onehot = (dir_win[:, None] == jnp.arange(4)[None, :]).astype(jnp.float32)
+            shelf_feats = jnp.stack(
+                [window(shelf_pad).reshape(-1), window(req_pad).reshape(-1)], axis=-1
+            ).astype(jnp.float32)
+
+            self_feats = jnp.concatenate(
+                [
+                    jnp.asarray([pos[0], pos[1], (carrying >= 0)], jnp.float32),
+                    (direction == jnp.arange(4)).astype(jnp.float32),
+                    highway[r, c].astype(jnp.float32)[None],
+                ]
+            )
+            cell_feats = jnp.concatenate([has_agent[:, None], dir_onehot], axis=-1).reshape(-1)
+            return jnp.concatenate([self_feats, cell_feats, shelf_feats.reshape(-1)])
+
+        return jax.vmap(one_agent)(state.agent_pos, state.agent_dir, state.carrying)
+
+    # ---------------------------------------------------------------- render
+
+    def render_frame(self, state) -> np.ndarray:
+        cell = 12
+        img = np.full((self.rows * cell, self.cols * cell, 3), 25, np.uint8)
+        storage = self._storage_grid()
+        for r in range(self.rows):
+            for c in range(self.cols):
+                if storage[r, c]:
+                    img[r * cell : (r + 1) * cell, c * cell : (c + 1) * cell] = (45, 45, 45)
+        for g in self._goal_cells():
+            img[g[0] * cell : (g[0] + 1) * cell, g[1] * cell : (g[1] + 1) * cell] = (90, 60, 0)
+        loc = np.asarray(state.shelf_loc)
+        carried = np.asarray(state.shelf_carried)
+        req = np.asarray(state.requested)
+        for s in range(self.n_shelves):
+            if not carried[s]:
+                r, c = loc[s]
+                color = (0, 160, 0) if req[s] else (0, 80, 120)
+                img[r * cell + 2 : (r + 1) * cell - 2, c * cell + 2 : (c + 1) * cell - 2] = color
+        pos = np.asarray(state.agent_pos)
+        carrying = np.asarray(state.carrying)
+        for a in range(self.num_agents):
+            r, c = pos[a]
+            color = (220, 120, 0) if carrying[a] >= 0 else (200, 200, 200)
+            img[r * cell + 3 : (r + 1) * cell - 3, c * cell + 3 : (c + 1) * cell - 3] = color
+        return img
+
+
+def parse_rware_name(name: str) -> RWARE:
+    """`rware[:rware]-{size}-{N}ag[-easy|-hard]-v{K}`
+    (e.g. `rware:rware-tiny-2ag-v2`, README.md:72, BASELINE.md config 4)."""
+    base = name.split(":")[-1]
+    parts = base.split("-")
+    assert parts[0] == "rware", f"not an rware id: {name}"
+    size = parts[1]
+    assert size in SIZES, f"unknown rware size {size!r}"
+    n_agents = int(parts[2].rstrip("ag"))
+    queue = n_agents
+    if "easy" in parts:
+        queue = 2 * n_agents
+    elif "hard" in parts:
+        queue = max(1, n_agents // 2)
+    shelf_rows, shelf_columns = SIZES[size]
+    return RWARE(
+        shelf_rows=shelf_rows,
+        shelf_columns=shelf_columns,
+        num_agents=n_agents,
+        request_queue_size=queue,
+    )

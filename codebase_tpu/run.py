@@ -31,6 +31,9 @@ def build_envs(cfg):
 
 def main(argv=None):
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
+    from codebase_tpu.utils.compilation_cache import enable as enable_cache
+
+    enable_cache()
     cfg = load_config(argv if argv is not None else sys.argv[1:])
 
     assert cfg.env.get("name"), "env.name must be set"

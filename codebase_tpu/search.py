@@ -1,0 +1,182 @@
+"""Hyperparameter sweep CLI.
+
+Replaces `marlbase/search.py` with the same sweep-spec format and CLI shape
+(`python -m codebase_tpu.search run --config sweeps/sample.yaml --seeds 5
+<mode>`), plus a TPU-native `vmapped` mode that folds the seed axis into one
+jitted program per configuration (see `codebase_tpu/sweep.py`).
+
+Spec format (identical to the reference, `configs/sweeps/sample.yaml`):
+- scalar values are constants,
+- list values are grid axes (cartesian product),
+- `!!python/tuple` entries link parameters (merged together; nested lists
+  inside a tuple expand as further grid axes).
+
+Modes:
+- `dry_run`  — print the generated combination list (`search.py:123-131`),
+- `single I` — run one combination, for cluster array jobs (`search.py:134-148`),
+- `locally`  — run combinations as sequential `run.py` invocations (the
+  reference uses a process pool; a single TPU chip admits one process at a
+  time, so this runs serially),
+- `vmapped`  — group combinations by config and train all seeds of each
+  config simultaneously under vmap (TPU-native replacement).
+"""
+
+from __future__ import annotations
+
+import logging
+import random
+from copy import deepcopy
+from itertools import product
+from pathlib import Path
+
+import click
+import yaml
+
+log = logging.getLogger("codebase_tpu")
+
+
+class _SweepLoader(yaml.SafeLoader):
+    pass
+
+
+def _tuple_constructor(loader, node):
+    return tuple(loader.construct_sequence(node))
+
+
+_SweepLoader.add_constructor("tag:yaml.org,2002:python/tuple", _tuple_constructor)
+
+
+def _flatten_lists(obj):
+    for item in obj:
+        if isinstance(item, (list, tuple, set)):
+            yield from _flatten_lists(item)
+        else:
+            yield item
+
+
+def gen_combos(config: dict, built: dict | None = None):
+    """Cartesian expansion with tuple-linked params (`search.py:38-64`)."""
+    built = deepcopy(built or {})
+    if not config:
+        return [[f"{k}={v}" for k, v in built.items()]]
+    k, v = next(iter(config.items()))
+    combos = []
+    if isinstance(v, list):
+        for item in v:
+            new = deepcopy(config)
+            del new[k]
+            new[k] = item
+            combos += gen_combos(new, built)
+    elif isinstance(v, tuple):
+        new = deepcopy(config)
+        del new[k]
+        for item in v:
+            new.update(item)
+        combos += gen_combos(new, built)
+    else:
+        new = deepcopy(config)
+        del new[k]
+        built[k] = v
+        combos += gen_combos(new, built)
+    return combos
+
+
+def seed_and_shuffle(combos, shuffle: bool, seeds: int):
+    """Tag hypergroups, cross with seeds, deterministic shuffle
+    (`search.py:22-30`)."""
+    combos = [[f"+hypergroup=hp_grp_{i}"] + c for i, c in enumerate(combos)]
+    combos = list(product(combos, [f"seed={i}" for i in range(seeds)]))
+    combos = [list(_flatten_lists(c)) for c in combos]
+    if shuffle:
+        random.Random(1337).shuffle(combos)
+    return combos
+
+
+@click.group()
+def cli():
+    pass
+
+
+@cli.group()
+@click.option("--config", type=click.File(), default="config.yaml")
+@click.option("--shuffle/--no-shuffle", default=True)
+@click.option("--seeds", default=3, show_default=True, help="How many seeds to run")
+@click.pass_context
+def run(ctx, config, shuffle, seeds):
+    spec = yaml.load(config, Loader=_SweepLoader)
+    combos = gen_combos(spec)
+    combos = seed_and_shuffle(combos, shuffle, seeds)
+    if not combos:
+        click.echo("No valid combinations. Aborted!")
+        raise SystemExit(1)
+    ctx.obj = combos
+
+
+@run.command()
+@click.pass_obj
+def dry_run(combos):
+    click.echo(f"There are {len(combos)} configurations as shown below:")
+    for c in combos:
+        click.echo(" ".join(c))
+
+
+@run.command()
+@click.argument("index", type=int)
+@click.pass_obj
+def single(combos, index):
+    """Run one combination by INDEX (cluster array jobs)."""
+    from codebase_tpu.run import main as run_main
+
+    tokens = [t for t in combos[index]]
+    click.echo(" ".join(tokens))
+    run_main(tokens)
+
+
+@run.command()
+@click.option("--yes", is_flag=True, help="skip confirmation")
+@click.pass_obj
+def locally(combos, yes):
+    """Run every combination sequentially (one chip = one process)."""
+    from codebase_tpu.run import main as run_main
+
+    if not yes:
+        click.confirm(f"Run {len(combos)} combinations sequentially?", abort=True)
+    for i, tokens in enumerate(combos):
+        click.echo(f"[{i + 1}/{len(combos)}] " + " ".join(tokens))
+        run_main(list(tokens))
+
+
+@run.command()
+@click.option("--output", default="sweeps_out", show_default=True)
+@click.option("--yes", is_flag=True, help="skip confirmation")
+@click.pass_obj
+def vmapped(combos, output, yes):
+    """Group combinations by hypergroup and train all seeds of each under
+    one vmapped program (TPU-native sweep)."""
+    from codebase_tpu.config import load_config
+    from codebase_tpu.sweep import run_vmapped_multiseed
+    from codebase_tpu.utils.compilation_cache import enable as enable_cache
+
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
+    enable_cache()
+
+    groups: dict[str, dict] = {}
+    for tokens in combos:
+        grp = next(t.split("=")[1] for t in tokens if t.startswith("+hypergroup"))
+        seed = int(next(t.split("=")[1] for t in tokens if t.startswith("seed=")))
+        base = [t for t in tokens if not t.startswith(("seed=", "+hypergroup"))]
+        groups.setdefault(grp, {"tokens": base, "seeds": []})["seeds"].append(seed)
+
+    if not yes:
+        click.confirm(
+            f"Run {len(groups)} configurations x {len(next(iter(groups.values()))['seeds'])} vmapped seeds?",
+            abort=True,
+        )
+    for grp, info in sorted(groups.items()):
+        cfg = load_config(info["tokens"])
+        click.echo(f"{grp}: {' '.join(info['tokens'])} (seeds {sorted(info['seeds'])})")
+        run_vmapped_multiseed(cfg, sorted(info["seeds"]), Path(output) / grp)
+
+
+if __name__ == "__main__":
+    cli()
