@@ -44,6 +44,14 @@ def main(env, eval_env, logger, time_limit, cfg):
     key, k_init = jax.random.split(key)
     state = init_state(k_init)
 
+    if cfg.get("resume"):
+        # exact resume: params, target, optimizer, replay, rng, counters —
+        # the reference cannot do this (weights-only save, SURVEY.md §5)
+        from codebase_tpu.utils.checkpoint import load_checkpoint
+
+        state = load_checkpoint(cfg.resume, template=state)
+        logger.info(f"Resumed from {cfg.resume} at step {int(state.env_steps)}")
+
     total_steps = int(acfg.total_steps)
     eval_interval = int(acfg.eval_interval) if acfg.eval_interval else 0
     save_interval = int(acfg.save_interval) if acfg.save_interval else 0
@@ -65,8 +73,8 @@ def main(env, eval_env, logger, time_limit, cfg):
     )
 
     run_dir = Path(getattr(logger, "run_dir", "."))
-    last_eval = last_save = last_video = 0
-    step = 0
+    step = int(state.env_steps)
+    last_eval = last_save = last_video = step
     while step < total_steps + 1:
         state, metrics = train_chunk(state, chunk_iters)
         step = int(state.env_steps)

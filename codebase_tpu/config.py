@@ -111,6 +111,18 @@ def load_algorithm_preset(name: str, config_dir: Path = CONFIG_DIR) -> Dict:
     return _deep_merge(merged, preset)
 
 
+def _parse_value(text: str) -> Any:
+    """YAML-parse an override value; also accept bare scientific notation
+    like `1e-5`, which YAML 1.1 treats as a string."""
+    value = yaml.safe_load(text)
+    if isinstance(value, str):
+        try:
+            return float(value)
+        except ValueError:
+            return value
+    return value
+
+
 def load_config(argv: Optional[List[str]] = None, config_dir: Path = CONFIG_DIR) -> Config:
     """Build a config from default.yaml + `+algorithm=` preset + overrides.
 
@@ -129,7 +141,7 @@ def load_config(argv: Optional[List[str]] = None, config_dir: Path = CONFIG_DIR)
         if key in ("+algorithm", "algorithm"):
             algo = val
         else:
-            overrides.append((key.lstrip("+"), yaml.safe_load(val)))
+            overrides.append((key.lstrip("+"), _parse_value(val)))
 
     if algo is not None:
         data = _deep_merge(data, load_algorithm_preset(algo, config_dir))

@@ -1,0 +1,174 @@
+"""Tests for loggers, checkpointing/resume, postprocessing, eval CLI."""
+
+import numpy as np
+import jax
+import pytest
+import yaml
+
+from codebase_tpu.config import Config, load_config
+from codebase_tpu.utils.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+from codebase_tpu.utils.loggers import FileSystemLogger, squash_info
+
+
+class TestSquashInfo:
+    def test_mean_std_over_episodes(self):
+        """Mirror of `utils/loggers.py:14-36`: arrays sum over agents first."""
+        infos = [
+            {"episode_returns": np.array([0.5, 0.5]), "episode_length": 10},
+            {"episode_returns": np.array([1.0, 0.0]), "episode_length": 20},
+            {"updates": 7, "environment_steps": 1000},
+        ]
+        d = squash_info(infos)
+        assert d["mean_episode_returns"] == pytest.approx(1.0)
+        assert d["std_episode_returns"] == pytest.approx(0.0)
+        assert d["mean_episode_length"] == pytest.approx(15.0)
+        # singletons pass through unprefixed
+        assert d["updates"] == 7 and d["environment_steps"] == 1000
+
+    def test_slash_keys(self):
+        infos = [{"agent0/episode_returns": 1.0}, {"agent0/episode_returns": 3.0}]
+        d = squash_info(infos)
+        assert d["agent0/mean_episode_returns"] == pytest.approx(2.0)
+        assert d["agent0/std_episode_returns"] == pytest.approx(1.0)
+
+
+class TestFileSystemLogger:
+    def test_csv_schema(self, tmp_path):
+        cfg = load_config(["+algorithm=idqn", "env.name=matrix-coordination", "env.time_limit=1"])
+        logger = FileSystemLogger("test", cfg, tmp_path)
+        infos = [
+            {"episode_returns": np.array([0.3, 0.7]), "episode_length": 5},
+            {"episode_returns": np.array([0.1, 0.2]), "episode_length": 7},
+            {"updates": 1, "environment_steps": 100, "epsilon": 0.9},
+        ]
+        logger.log_metrics(infos)
+        logger.log_metrics(infos)
+        import pandas as pd
+
+        df = pd.read_csv(tmp_path / "results.csv")
+        assert df.columns[0] == "environment_steps"
+        assert list(df.columns[1:]) == sorted(df.columns[1:])
+        assert len(df) == 2
+        # config saved alongside
+        assert yaml.safe_load((tmp_path / "config.yaml").read_text())["algorithm"]["name"] == "idqn"
+
+    def test_get_state(self, tmp_path):
+        cfg = load_config(["+algorithm=idqn", "env.name=matrix-coordination", "env.time_limit=1"])
+        logger = FileSystemLogger("test", cfg, tmp_path)
+        logger.log_metrics([{"episode_returns": np.array([1.0])}, {"updates": 1, "environment_steps": 10}])
+        assert logger.get_state() is not None
+
+
+class TestConfig:
+    def test_preset_inheritance(self):
+        cfg = load_config(["+algorithm=qmix"])
+        # qmix extends idqn (`configs/algorithm/qmix.yaml:3-4`)
+        assert cfg.algorithm.lr == pytest.approx(3e-4)
+        assert cfg.algorithm.model.name == "qmix"
+        assert cfg.env.wrappers == ["CooperativeReward"]
+
+    def test_override_types(self):
+        cfg = load_config(
+            ["+algorithm=idqn", "algorithm.lr=1e-5", "algorithm.double_q=false", "seed=3"]
+        )
+        assert cfg.algorithm.lr == pytest.approx(1e-5)
+        assert cfg.algorithm.double_q is False
+        assert cfg.seed == 3
+
+    def test_hash_excludes_seed(self):
+        a = load_config(["+algorithm=idqn", "seed=1"])
+        b = load_config(["+algorithm=idqn", "seed=2"])
+        c = load_config(["+algorithm=idqn", "algorithm.lr=1"])
+        assert a.hash() == b.hash() != c.hash()
+
+    def test_unknown_algorithm(self):
+        with pytest.raises(ValueError):
+            load_config(["+algorithm=dreamer"])
+
+
+class TestCheckpointResume:
+    def test_roundtrip_and_resume_exactness(self, tmp_path):
+        """A resumed DQN state must continue bit-identically."""
+        from codebase_tpu.algos.dqn import build_train_functions
+        from codebase_tpu.envs.factory import make_env
+
+        env = make_env("matrix-coordination", time_limit=1)
+        cfg = load_config(
+            ["+algorithm=idqn", "algorithm.training_start=0", "algorithm.buffer_size=64",
+             "algorithm.batch_size=8"]
+        )
+        cfg.algorithm.parallel_envs = 8
+        _, init_state, train_chunk, _ = build_train_functions(env, env, cfg.algorithm, 1)
+        state = init_state(jax.random.PRNGKey(0))
+        state, _ = train_chunk(state, 3)
+
+        path = tmp_path / "checkpoints" / "model_s123.pkl"
+        save_checkpoint(path, state)
+        restored = load_checkpoint(path, template=state)
+
+        s1, m1 = train_chunk(state, 2)
+        s2, m2 = train_chunk(restored, 2)
+        np.testing.assert_allclose(np.asarray(m1["loss"]), np.asarray(m2["loss"]), rtol=1e-6)
+        assert int(s1.env_steps) == int(s2.env_steps)
+
+    def test_latest_checkpoint_discovery(self, tmp_path):
+        d = tmp_path / "checkpoints"
+        for s in (100, 2000, 900):
+            save_checkpoint(d / f"model_s{s}.pkl", {"x": np.ones(3)})
+        assert latest_checkpoint(d).name == "model_s2000.pkl"
+        with pytest.raises(FileNotFoundError):
+            latest_checkpoint(tmp_path / "empty")
+
+    def test_structure_mismatch_raises(self, tmp_path):
+        save_checkpoint(tmp_path / "c.pkl", {"a": np.ones(2)})
+        with pytest.raises(ValueError):
+            load_checkpoint(tmp_path / "c.pkl", template={"b": {"c": np.ones(2)}})
+
+
+class TestPostprocessing:
+    def _fake_runs(self, tmp_path, n_seeds=3):
+        from codebase_tpu.sweep import run_vmapped_multiseed
+
+        cfg = load_config(
+            ["+algorithm=idqn", "env.name=matrix-coordination", "env.time_limit=1",
+             "algorithm.total_steps=400", "algorithm.training_start=16",
+             "algorithm.buffer_size=128", "algorithm.batch_size=8",
+             "algorithm.eval_interval=150", "algorithm.eval_episodes=4"]
+        )
+        cfg.algorithm.parallel_envs = 8
+        return run_vmapped_multiseed(cfg, list(range(n_seeds)), tmp_path / "grp")
+
+    def test_load_group_and_best(self, tmp_path, capsys):
+        self._fake_runs(tmp_path)
+        from codebase_tpu.utils.postprocessing.load_data import load_and_group_runs
+
+        groups = load_and_group_runs(tmp_path)
+        assert len(groups) == 1
+        g = groups[0]
+        assert len(g.runs) == 3
+        assert g.has_metric("mean_episode_returns")
+        vals = g.get_metric("mean_episode_returns")
+        assert vals.shape[0] == 3
+
+    def test_export_multirun(self, tmp_path):
+        self._fake_runs(tmp_path)
+        from codebase_tpu.utils.postprocessing.export_multirun import load_multirun
+
+        configs, df = load_multirun(tmp_path)
+        assert df.columns.nlevels == 4  # env, algo, hash, seed
+        assert len(configs) == 1
+
+    def test_stats_matrices(self, tmp_path):
+        dirs = self._fake_runs(tmp_path)
+        # layout for stats: folder/algo/<run>/results.csv
+        algo_dir = tmp_path / "layout" / "idqn"
+        algo_dir.mkdir(parents=True)
+        for i, d in enumerate(dirs):
+            (algo_dir / f"run{i}").mkdir()
+            (algo_dir / f"run{i}" / "results.csv").write_bytes((d / "results.csv").read_bytes())
+        from codebase_tpu.utils.stats import make_agg_metrics_efficiency
+
+        out = make_agg_metrics_efficiency(
+            [str(tmp_path / "layout")], ["idqn"], ["mean_episode_returns"]
+        )
+        assert out["idqn"].shape[0] == 3 and out["idqn"].shape[1] == 1
