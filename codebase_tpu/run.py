@@ -58,7 +58,15 @@ def main(argv=None):
         cfg.algorithm.parallel_envs = int(cfg.env.parallel_envs)
 
     algo = get_algorithm(cfg.algorithm.name)
-    algo(env, eval_env, logger, int(cfg.env.time_limit), cfg)
+    trace_dir = cfg.get("trace_dir")
+    if trace_dir:
+        from codebase_tpu.utils.profiling import trace
+
+        logger.info(f"Capturing profiler trace to {trace_dir}")
+        with trace(trace_dir):
+            algo(env, eval_env, logger, int(cfg.env.time_limit), cfg)
+    else:
+        algo(env, eval_env, logger, int(cfg.env.time_limit), cfg)
     return logger.get_state()
 
 
