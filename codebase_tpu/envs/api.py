@@ -90,6 +90,32 @@ class Environment:
         """(state, (N,) int32, key) -> (state, TimeStep)."""
         raise NotImplementedError
 
+    # --- batched interface -------------------------------------------------
+    # The rollout harness (`codebase_tpu/envs/vector.py`) always steps E env
+    # instances through these. Contract: TimeStep fields gain a LEADING env
+    # axis E — obs (E, N, D), reward (E, N), terminated (E,), ... — while the
+    # batched `state` is an opaque pytree the env chooses. The defaults vmap
+    # the single-instance functions (key streams identical to splitting the
+    # key per env). Envs override them with a natively batched layout when it
+    # pays: on TPU, elementwise work on (E, N, F)-shaped intermediates with
+    # tiny trailing dims wastes the 128-wide vector lanes; storing the batch
+    # env-axis-LAST (struct-of-arrays, e.g. `LBFBatchState` in
+    # `envs/lbforaging.py`) runs the same logic at full lane utilisation
+    # (~10x faster rollouts at E=8192).
+
+    def reset_batch(self, key, n: int):
+        """key, n -> (batched state, TimeStep with leading env axis n)."""
+        import jax
+
+        return jax.vmap(self.reset)(jax.random.split(key, n))
+
+    def step_batch(self, state, actions, key):
+        """(batched state, (E, N) int32, key) -> (batched state, TimeStep
+        with leading env axis E)."""
+        import jax
+
+        return jax.vmap(self.step)(state, actions, jax.random.split(key, actions.shape[0]))
+
     # --- optional helpers -------------------------------------------------
     def full_ones_mask(self):
         return jnp.ones((self.n_agents, self.n_actions), jnp.float32)

@@ -63,6 +63,27 @@ class LBFState:
     t: jnp.ndarray  # () int32
 
 
+@struct.dataclass
+class LBFBatchState:
+    """E env instances in struct-of-arrays, env-axis-LAST layout.
+
+    TPU vector lanes are 128 wide along the trailing dim; with the batch
+    axis last every elementwise op in the step/obs pipeline runs at full
+    lane utilisation instead of ~3/128 (the (E, F)/(E, N, 2) layouts the
+    vmapped single-env path produces). See `Environment.reset_batch`.
+    """
+
+    agent_r: jnp.ndarray  # (N, E) int32
+    agent_c: jnp.ndarray  # (N, E) int32
+    agent_level: jnp.ndarray  # (N, E) int32
+    food_r: jnp.ndarray  # (F, E) int32
+    food_c: jnp.ndarray  # (F, E) int32
+    food_level: jnp.ndarray  # (F, E) int32
+    food_active: jnp.ndarray  # (F, E) bool
+    food_spawned: jnp.ndarray  # (E,) float32
+    t: jnp.ndarray  # (E,) int32
+
+
 @dataclass(frozen=True)
 class LevelBasedForaging(Environment):
     rows: int = 8
@@ -254,6 +275,210 @@ class LevelBasedForaging(Environment):
             action_mask=self.full_ones_mask(),
         )
         return new_state, ts
+
+    # ------------------------------------------------------- batched (E-last)
+
+    @staticmethod
+    def to_batch(states: LBFState) -> LBFBatchState:
+        """Convert vmapped scalar states (leading E axis) to E-last SoA."""
+        return LBFBatchState(
+            agent_r=states.agent_pos[..., 0].T,
+            agent_c=states.agent_pos[..., 1].T,
+            agent_level=states.agent_level.T,
+            food_r=states.food_pos[..., 0].T,
+            food_c=states.food_pos[..., 1].T,
+            food_level=states.food_level.T,
+            food_active=states.food_active.T,
+            food_spawned=states.food_spawned,
+            t=states.t,
+        )
+
+    @staticmethod
+    def from_batch(state: LBFBatchState) -> LBFState:
+        """Inverse of `to_batch` (tests / rendering)."""
+        return LBFState(
+            agent_pos=jnp.stack([state.agent_r.T, state.agent_c.T], axis=-1),
+            agent_level=state.agent_level.T,
+            food_pos=jnp.stack([state.food_r.T, state.food_c.T], axis=-1),
+            food_level=state.food_level.T,
+            food_active=state.food_active.T,
+            food_spawned=state.food_spawned,
+            t=state.t,
+        )
+
+    def reset_batch(self, key, n: int):
+        """Same reset distribution as the vmapped scalar path (reset is once
+        per rollout and cheap); only the state layout changes."""
+        states, ts = jax.vmap(self.reset)(jax.random.split(key, n))
+        return self.to_batch(states), ts
+
+    def step_batch(self, state: LBFBatchState, actions, key):
+        """E-last batched transition — exactly `vmap(self.step)` semantics
+        (validated against it in tests/test_lbforaging.py), written with the
+        env axis trailing so every op vectorises over full TPU lanes."""
+        del key  # dynamics are deterministic given actions
+        R, C, N, F = self.rows, self.cols, self.num_agents, self.max_food
+        a = jnp.asarray(actions, jnp.int32).T  # (N, E)
+        E = a.shape[1]
+
+        dr = jnp.asarray(_DELTAS[:, 0])[a]  # (N, E)
+        dc = jnp.asarray(_DELTAS[:, 1])[a]
+        tr, tc = state.agent_r + dr, state.agent_c + dc
+        in_bounds = (tr >= 0) & (tr < R) & (tc >= 0) & (tc < C)
+        trc = jnp.clip(tr, 0, R - 1)
+        tcc = jnp.clip(tc, 0, C - 1)
+        # onto-food: does any active food occupy the target cell
+        hit_food = (
+            (trc[:, None, :] == state.food_r[None])
+            & (tcc[:, None, :] == state.food_c[None])
+            & state.food_active[None]
+        )  # (N, F, E)
+        onto_food = jnp.any(hit_food, axis=1)
+        is_move = (a >= NORTH) & (a <= EAST)
+        valid_move = is_move & in_bounds & ~onto_food
+        ntr = jnp.where(valid_move, trc, state.agent_r)
+        ntc = jnp.where(valid_move, tcc, state.agent_c)
+
+        # single-pass collision resolution (see scalar step)
+        cell = ntr * C + ntc  # (N, E)
+        claims = jnp.sum(cell[:, None, :] == cell[None, :, :], axis=1)  # (N, E)
+        ok = claims == 1
+        new_r = jnp.where(ok, ntr, state.agent_r)
+        new_c = jnp.where(ok, ntc, state.agent_c)
+
+        # loading: first adjacent active food per LOADer (N, S, W, E priority)
+        loading = a == LOAD  # (N, E)
+        fdr = state.food_r[None] - new_r[:, None, :]  # (N, F, E)
+        fdc = state.food_c[None] - new_c[:, None, :]
+        prio = jnp.full((N, F, E), 99, jnp.int32)
+        prio = jnp.where((fdr == -1) & (fdc == 0), 0, prio)
+        prio = jnp.where((fdr == 1) & (fdc == 0), 1, prio)
+        prio = jnp.where((fdr == 0) & (fdc == -1), 2, prio)
+        prio = jnp.where((fdr == 0) & (fdc == 1), 3, prio)
+        prio = jnp.where(state.food_active[None] & loading[:, None, :], prio, 99)
+        choice = jnp.argmin(prio, axis=1)  # (N, E)
+        has_choice = jnp.min(prio, axis=1) < 99
+        slot = jax.lax.broadcasted_iota(jnp.int32, (N, F, E), 1)
+        picks = has_choice[:, None, :] & (choice[:, None, :] == slot)  # (N, F, E)
+        loader_sum = jnp.sum(picks * state.agent_level[:, None, :], axis=0)  # (F, E)
+        collected = state.food_active & (loader_sum >= state.food_level) & (loader_sum > 0)
+        failed = (loader_sum > 0) & ~collected
+
+        lvl_f = state.food_level.astype(jnp.float32)  # (F, E)
+        gain = (
+            picks
+            * collected[None]
+            * state.agent_level[:, None, :].astype(jnp.float32)
+            * lvl_f[None]
+        )  # (N, F, E)
+        if self.normalize_reward:
+            denom = jnp.maximum(
+                loader_sum.astype(jnp.float32) * state.food_spawned[None, :], 1e-9
+            )
+            gain = gain / denom[None]
+        reward = jnp.sum(gain, axis=1)  # (N, E)
+        if self.penalty:
+            reward = reward - self.penalty * jnp.sum(picks * failed[None], axis=1)
+
+        food_active = state.food_active & ~collected
+        t = state.t + 1
+        terminated = jnp.logical_or(
+            ~jnp.any(food_active, axis=0), t >= self.max_episode_steps
+        )  # (E,)
+
+        new_state = state.replace(
+            agent_r=new_r,
+            agent_c=new_c,
+            food_active=food_active,
+            food_level=jnp.where(food_active, state.food_level, 0),
+            t=t,
+        )
+        ts = TimeStep(
+            obs=self._make_obs_batch(new_state),
+            reward=reward.T,
+            stat_reward=reward.T,
+            terminated=terminated,
+            truncated=jnp.zeros((E,), bool),
+            action_mask=jnp.broadcast_to(
+                self.full_ones_mask(), (E, N, self.n_actions)
+            ),
+        )
+        return new_state, ts
+
+    def _make_obs_batch(self, state: LBFBatchState):
+        """(E, N, D) observations, computed E-last (see `_make_obs` for the
+        layout spec). Sorting uses branchless rank + one-hot permutation —
+        the keys are unique by construction, so this matches the scalar
+        path's stable argsort exactly."""
+        N, F, C = self.num_agents, self.max_food, self.cols
+        E = state.agent_r.shape[1]
+        BIG = self.rows * self.cols + 10
+
+        origin_r = jnp.maximum(state.agent_r - self.sight, 0)  # (N, E)
+        origin_c = jnp.maximum(state.agent_c - self.sight, 0)
+
+        def rank_permute(sort_key, feats):
+            """sort_key (N, K, E) with unique keys; feats: list of (N, K, E)
+            arrays -> each reordered ascending by key along K."""
+            rank = jnp.sum(
+                sort_key[:, :, None, :] > sort_key[:, None, :, :], axis=2
+            )  # (N, K, E) — position of each element
+            K = sort_key.shape[1]
+            slot = jax.lax.broadcasted_iota(jnp.int32, (N, K, K, E), 1)
+            perm = rank[:, None, :, :] == slot  # (N, K_out, K_in, E)
+            return [jnp.sum(perm * f[:, None, :, :], axis=2) for f in feats]
+
+        # --- foods: visible & active, row-major order
+        vis_f = (
+            state.food_active[None]
+            & (jnp.abs(state.food_r[None] - state.agent_r[:, None, :]) <= self.sight)
+            & (jnp.abs(state.food_c[None] - state.agent_c[:, None, :]) <= self.sight)
+        )  # (N, F, E)
+        food_cell = (state.food_r * C + state.food_c)[None]  # (1, F, E)
+        fidx = jax.lax.broadcasted_iota(jnp.int32, (N, F, E), 1)
+        f_key = jnp.where(vis_f, food_cell, BIG + fidx)
+        f_vis, f_r, f_c, f_lvl = rank_permute(
+            f_key,
+            [
+                vis_f.astype(jnp.int32),
+                jnp.broadcast_to(state.food_r[None], (N, F, E)) - origin_r[:, None, :],
+                jnp.broadcast_to(state.food_c[None], (N, F, E)) - origin_c[:, None, :],
+                jnp.broadcast_to(state.food_level[None], (N, F, E)),
+            ],
+        )
+        ok = f_vis > 0
+        food_feats = jnp.stack(
+            [jnp.where(ok, f_r, -1), jnp.where(ok, f_c, -1), jnp.where(ok, f_lvl, 0)],
+            axis=2,
+        )  # (N, F, 3, E)
+
+        # --- players: visible, index order
+        vis_p = (
+            jnp.abs(state.agent_r[None] - state.agent_r[:, None, :]) <= self.sight
+        ) & (
+            jnp.abs(state.agent_c[None] - state.agent_c[:, None, :]) <= self.sight
+        )  # (N, N, E)
+        pidx = jax.lax.broadcasted_iota(jnp.int32, (N, N, E), 1)
+        p_key = jnp.where(vis_p, pidx, BIG + pidx)
+        p_vis, p_r, p_c, p_lvl = rank_permute(
+            p_key,
+            [
+                vis_p.astype(jnp.int32),
+                jnp.broadcast_to(state.agent_r[None], (N, N, E)) - origin_r[:, None, :],
+                jnp.broadcast_to(state.agent_c[None], (N, N, E)) - origin_c[:, None, :],
+                jnp.broadcast_to(state.agent_level[None], (N, N, E)),
+            ],
+        )
+        okp = p_vis > 0
+        player_feats = jnp.stack(
+            [jnp.where(okp, p_r, -1), jnp.where(okp, p_c, -1), jnp.where(okp, p_lvl, 0)],
+            axis=2,
+        )  # (N, N, 3, E)
+
+        obs = jnp.concatenate(
+            [food_feats.reshape(N, 3 * F, E), player_feats.reshape(N, 3 * N, E)], axis=1
+        ).astype(jnp.float32)  # (N, D, E)
+        return jnp.transpose(obs, (2, 0, 1))  # (E, N, D)
 
     # ------------------------------------------------------------ observations
 

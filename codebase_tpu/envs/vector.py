@@ -91,22 +91,34 @@ def collect_episodes(
     Returns:
         (Rollout, final policy carry)
     """
+    def constrain(ts):
+        """Pin the leading env axis of every TimeStep field to the mesh's
+        data axis; GSPMD propagates the sharding through the batched step
+        and everything derived (including env states of any layout)."""
+        if env_sharding is None:
+            return ts
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        def c(x):
+            spec = PartitionSpec(
+                *(list(env_sharding.spec) + [None] * (x.ndim - len(env_sharding.spec)))
+            )
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(env_sharding.mesh, spec)
+            )
+
+        return jax.tree.map(c, ts)
+
     k_reset, k_scan = jax.random.split(key)
-    reset_keys = jax.random.split(k_reset, n_envs)
-    if env_sharding is not None:
-        # pin the env batch axis to the mesh's data axis; GSPMD propagates
-        # the sharding through the vmapped step and everything derived
-        reset_keys = jax.lax.with_sharding_constraint(reset_keys, env_sharding)
-    states, ts0 = jax.vmap(env.reset)(reset_keys)
+    states, ts0 = env.reset_batch(k_reset, n_envs)
+    ts0 = constrain(ts0)
 
     def step_fn(carry, k):
         states, ts, running, pol_carry = carry
         k_act, k_env = jax.random.split(k)
         pol_carry, actions = policy(pol_carry, ts.obs, ts.action_mask, k_act)
-        step_keys = jax.random.split(k_env, n_envs)
-        if env_sharding is not None:
-            step_keys = jax.lax.with_sharding_constraint(step_keys, env_sharding)
-        new_states, new_ts = jax.vmap(env.step)(states, actions, step_keys)
+        new_states, new_ts = env.step_batch(states, actions, k_env)
+        new_ts = constrain(new_ts)
 
         done = new_ts.done  # (E,)
         if use_proper_termination:

@@ -87,6 +87,16 @@ class TimeLimit(WrapperBase):
         truncated = jnp.logical_or(ts.truncated, t >= self.limit)
         return TimeLimitState(inner=s, t=t), ts.replace(truncated=truncated)
 
+    def reset_batch(self, key, n):
+        s, ts = self.env.reset_batch(key, n)
+        return TimeLimitState(inner=s, t=jnp.zeros((n,), jnp.int32)), ts
+
+    def step_batch(self, state, actions, key):
+        s, ts = self.env.step_batch(state.inner, actions, key)
+        t = state.t + 1
+        truncated = jnp.logical_or(ts.truncated, t >= self.limit)
+        return TimeLimitState(inner=s, t=t), ts.replace(truncated=truncated)
+
     def inner_state(self, state):
         return self.env.inner_state(state.inner) if isinstance(self.env, WrapperBase) else state.inner
 
@@ -101,8 +111,10 @@ class ObserveID(WrapperBase):
         return self.env.obs_dim + self.env.n_agents
 
     def _augment(self, ts: TimeStep) -> TimeStep:
-        eye = jnp.eye(self.env.n_agents, dtype=ts.obs.dtype)
-        return ts.replace(obs=jnp.concatenate([eye, ts.obs], axis=1))
+        n = self.env.n_agents
+        eye = jnp.eye(n, dtype=ts.obs.dtype)
+        eye = jnp.broadcast_to(eye, ts.obs.shape[:-1] + (n,))
+        return ts.replace(obs=jnp.concatenate([eye, ts.obs], axis=-1))
 
     def reset(self, key):
         s, ts = self.env.reset(key)
@@ -110,6 +122,14 @@ class ObserveID(WrapperBase):
 
     def step(self, state, actions, key):
         s, ts = self.env.step(state, actions, key)
+        return s, self._augment(ts)
+
+    def reset_batch(self, key, n):
+        s, ts = self.env.reset_batch(key, n)
+        return s, self._augment(ts)
+
+    def step_batch(self, state, actions, key):
+        s, ts = self.env.step_batch(state, actions, key)
         return s, self._augment(ts)
 
     def inner_state(self, state):
@@ -123,13 +143,23 @@ class CooperativeReward(WrapperBase):
     `configs/algorithm/vdn.yaml:6-8`). `stat_reward` stays raw, matching the
     reference where `RecordEpisodeStatistics` sits below this wrapper."""
 
+    def _team(self, ts: TimeStep) -> TimeStep:
+        team = jnp.sum(ts.reward, axis=-1, keepdims=True)
+        return ts.replace(reward=jnp.broadcast_to(team, ts.reward.shape))
+
     def reset(self, key):
         return self.env.reset(key)
 
     def step(self, state, actions, key):
         s, ts = self.env.step(state, actions, key)
-        team = jnp.sum(ts.reward)
-        return s, ts.replace(reward=jnp.full_like(ts.reward, team))
+        return s, self._team(ts)
+
+    def reset_batch(self, key, n):
+        return self.env.reset_batch(key, n)
+
+    def step_batch(self, state, actions, key):
+        s, ts = self.env.step_batch(state, actions, key)
+        return s, self._team(ts)
 
     def inner_state(self, state):
         return self.env.inner_state(state) if isinstance(self.env, WrapperBase) else state
@@ -154,19 +184,13 @@ class StandardiseReward(WrapperBase):
     vectorised rollouts here, each env instance's stream restarts per
     episode. `stat_reward` stays raw."""
 
-    def _init_state(self, s):
-        n_agents = self.env.n_agents
-        zeros = jnp.zeros((n_agents,), jnp.float32)
+    def _init_state(self, s, reward_like):
+        zeros = jnp.zeros_like(reward_like)
         return StandardiseRewardState(
             inner=s, sumw=zeros, wmean=zeros, tvar=zeros, n=jnp.asarray(0.0, jnp.float32)
         )
 
-    def reset(self, key):
-        s, ts = self.env.reset(key)
-        return self._init_state(s), ts
-
-    def step(self, state, actions, key):
-        s, ts = self.env.step(state.inner, actions, key)
+    def _update(self, state, s, ts):
         reward = ts.reward
         q = reward - state.wmean
         temp_sumw = state.sumw + 1.0
@@ -179,6 +203,22 @@ class StandardiseReward(WrapperBase):
         out = jnp.where(n <= 1.0, reward, std_reward)
         new_state = StandardiseRewardState(inner=s, sumw=temp_sumw, wmean=wmean, tvar=tvar, n=n)
         return new_state, ts.replace(reward=out)
+
+    def reset(self, key):
+        s, ts = self.env.reset(key)
+        return self._init_state(s, ts.reward), ts
+
+    def step(self, state, actions, key):
+        s, ts = self.env.step(state.inner, actions, key)
+        return self._update(state, s, ts)
+
+    def reset_batch(self, key, n):
+        s, ts = self.env.reset_batch(key, n)
+        return self._init_state(s, ts.reward), ts
+
+    def step_batch(self, state, actions, key):
+        s, ts = self.env.step_batch(state.inner, actions, key)
+        return self._update(state, s, ts)
 
     def inner_state(self, state):
         return (
