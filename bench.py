@@ -1,9 +1,9 @@
 """Headline benchmark: IDQN training throughput on Level-Based Foraging.
 
 Measures env-steps/s of the full fused train loop (epsilon-greedy rollouts of
-8192 vmapped Foraging-8x8-2p-3f envs, on-device episodic replay, double-Q
-updates, target maintenance) on one chip — the BASELINE.json north-star
-metric (target: >= 1,000,000 env-steps/s per chip).
+32768 batched env-axis-last Foraging-8x8-2p-3f envs, on-device episodic
+replay, double-Q updates, target maintenance) on one chip — the
+BASELINE.json north-star metric (target: >= 1,000,000 env-steps/s per chip).
 
 The reference measures the same quantity as "FPS" at runtime
 (`marlbase/utils/loggers.py:69-71`) while stepping ONE Gymnasium env in
@@ -33,10 +33,10 @@ def main():
 
     env = make_env("lbforaging:Foraging-8x8-2p-3f-v3", time_limit=25)
     cfg = load_config(["+algorithm=idqn"])
-    cfg.algorithm.parallel_envs = 8192
+    cfg.algorithm.parallel_envs = 32768
     cfg.algorithm.batch_size = 512
     cfg.algorithm.updates_per_collect = 8
-    cfg.algorithm.buffer_size = 16384
+    cfg.algorithm.buffer_size = 65536
     cfg.algorithm.training_start = 0
 
     _, init_state, train_chunk, _ = build_train_functions(env, env, cfg.algorithm, 25)

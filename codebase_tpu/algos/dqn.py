@@ -156,11 +156,16 @@ class DQNModel:
     def loss(self, params, target_params, batch, ret_rms):
         """Episode double-Q TD loss; returns (loss, new_ret_rms)."""
         obss = batch["obss"]  # (N, T+1, B, D)
-        actions = batch["actions"][..., None]  # (N, T, B, 1)
+        actions = batch["actions"]  # (N, T, B)
         amask = batch["action_mask"]  # (N, T+1, B, A)
 
         q_all, _ = self.critic.apply(params["critic"], obss)  # (N, T+1, B, A)
-        chosen = jnp.take_along_axis(q_all[:, :-1], actions, axis=-1)[..., 0]  # (N, T, B)
+        n_act = q_all.shape[-1]
+        # one-hot select instead of take_along_axis: gathers run ~300us on
+        # TPU for these shapes, a compare+multiply-reduce over A=|actions|
+        # is pure vector work
+        a_onehot = jax.nn.one_hot(actions, n_act, dtype=q_all.dtype)  # (N, T, B, A)
+        chosen = jnp.sum(q_all[:, :-1] * a_onehot, axis=-1)  # (N, T, B)
 
         tq_all, _ = self.critic.apply(target_params["critic"], obss)
         tq = tq_all[:, 1:]
@@ -171,7 +176,9 @@ class DQNModel:
             if self.use_action_masks:
                 qc = jnp.where(amask[:, 1:] > 0, qc, MASK_NEG)
             a_prime = jnp.argmax(qc, axis=-1)
-            target_qs = jnp.take_along_axis(tq, a_prime[..., None], axis=-1)[..., 0]
+            target_qs = jnp.sum(
+                tq * jax.nn.one_hot(a_prime, n_act, dtype=tq.dtype), axis=-1
+            )
         else:
             target_qs = jnp.max(tq, axis=-1)  # (N, T, B)
         target_qs = jax.lax.stop_gradient(target_qs)

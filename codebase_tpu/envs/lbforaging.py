@@ -114,6 +114,19 @@ class LevelBasedForaging(Environment):
     # ------------------------------------------------------------------ reset
 
     def reset(self, key):
+        state = self._reset_state(key)
+        zeros = jnp.zeros((self.num_agents,), jnp.float32)
+        ts = TimeStep(
+            obs=self._make_obs(state),
+            reward=zeros,
+            stat_reward=zeros,
+            terminated=jnp.asarray(False),
+            truncated=jnp.asarray(False),
+            action_mask=self.full_ones_mask(),
+        )
+        return state, ts
+
+    def _reset_state(self, key) -> LBFState:
         k_ppos, k_plvl, k_fpos, k_flvl = jax.random.split(key, 4)
         R, C, N, F = self.rows, self.cols, self.num_agents, self.max_food
 
@@ -172,7 +185,7 @@ class LevelBasedForaging(Environment):
             food_level = jax.random.randint(k_flvl, (F,), self.min_food_level, hi, jnp.int32)
         food_level = jnp.where(food_active, food_level, 0)
 
-        state = LBFState(
+        return LBFState(
             agent_pos=agent_pos,
             agent_level=agent_level,
             food_pos=food_pos,
@@ -181,16 +194,6 @@ class LevelBasedForaging(Environment):
             food_spawned=jnp.sum(food_level).astype(jnp.float32),
             t=jnp.asarray(0, jnp.int32),
         )
-        zeros = jnp.zeros((N,), jnp.float32)
-        ts = TimeStep(
-            obs=self._make_obs(state),
-            reward=zeros,
-            stat_reward=zeros,
-            terminated=jnp.asarray(False),
-            truncated=jnp.asarray(False),
-            action_mask=self.full_ones_mask(),
-        )
-        return state, ts
 
     # ------------------------------------------------------------------- step
 
@@ -206,7 +209,13 @@ class LevelBasedForaging(Environment):
         )
 
         # --- validity: moves must stay in bounds and not enter a food cell
-        deltas = jnp.asarray(_DELTAS)[actions]  # (N, 2)
+        deltas = jnp.stack(
+            [
+                (actions == SOUTH).astype(jnp.int32) - (actions == NORTH).astype(jnp.int32),
+                (actions == EAST).astype(jnp.int32) - (actions == WEST).astype(jnp.int32),
+            ],
+            axis=-1,
+        )  # (N, 2) — branchless (gather-free) equivalent of _DELTAS[actions]
         raw_target = state.agent_pos + deltas
         in_bounds = (
             (raw_target[:, 0] >= 0)
@@ -307,10 +316,24 @@ class LevelBasedForaging(Environment):
         )
 
     def reset_batch(self, key, n: int):
-        """Same reset distribution as the vmapped scalar path (reset is once
-        per rollout and cheap); only the state layout changes."""
-        states, ts = jax.vmap(self.reset)(jax.random.split(key, n))
-        return self.to_batch(states), ts
+        """Same reset distribution as the vmapped scalar path (placement
+        logic is vmapped once per rollout), but the initial observations are
+        computed by the lane-efficient batched path — which equals the
+        scalar one bit-for-bit (tests/test_batched_env.py)."""
+        states = jax.vmap(self._reset_state)(jax.random.split(key, n))
+        bstate = self.to_batch(states)
+        zeros = jnp.zeros((n, self.num_agents), jnp.float32)
+        ts = TimeStep(
+            obs=self._make_obs_batch(bstate),
+            reward=zeros,
+            stat_reward=zeros,
+            terminated=jnp.zeros((n,), bool),
+            truncated=jnp.zeros((n,), bool),
+            action_mask=jnp.broadcast_to(
+                self.full_ones_mask(), (n, self.num_agents, self.n_actions)
+            ),
+        )
+        return bstate, ts
 
     def step_batch(self, state: LBFBatchState, actions, key):
         """E-last batched transition — exactly `vmap(self.step)` semantics
@@ -321,8 +344,10 @@ class LevelBasedForaging(Environment):
         a = jnp.asarray(actions, jnp.int32).T  # (N, E)
         E = a.shape[1]
 
-        dr = jnp.asarray(_DELTAS[:, 0])[a]  # (N, E)
-        dc = jnp.asarray(_DELTAS[:, 1])[a]
+        # branchless deltas — a table gather s32[6][(N,E)] costs ~130us/step
+        # on TPU, two compares are free
+        dr = (a == SOUTH).astype(jnp.int32) - (a == NORTH).astype(jnp.int32)  # (N, E)
+        dc = (a == EAST).astype(jnp.int32) - (a == WEST).astype(jnp.int32)
         tr, tc = state.agent_r + dr, state.agent_c + dc
         in_bounds = (tr >= 0) & (tr < R) & (tc >= 0) & (tc < C)
         trc = jnp.clip(tr, 0, R - 1)

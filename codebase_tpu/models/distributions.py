@@ -28,9 +28,13 @@ def sample(key, logits: jnp.ndarray) -> jnp.ndarray:
 
 
 def log_prob(logits: jnp.ndarray, actions: jnp.ndarray) -> jnp.ndarray:
-    """Log-probability of actions under softmax(logits); actions (...)."""
+    """Log-probability of actions under softmax(logits); actions (...).
+
+    One-hot select rather than take_along_axis: TPU gathers cost hundreds
+    of us at training shapes, a compare+multiply-reduce over A is free."""
     logp = jax.nn.log_softmax(logits, axis=-1)
-    return jnp.take_along_axis(logp, actions[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    onehot = jax.nn.one_hot(actions.astype(jnp.int32), logits.shape[-1], dtype=logp.dtype)
+    return jnp.sum(logp * onehot, axis=-1)
 
 
 def entropy(logits: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,78 @@
+"""Multi-device scaling benchmark: env-steps/s vs mesh size.
+
+BASELINE.md north star: >= 80% scaling efficiency at N >= 2 devices. On a
+real pod slice run this as-is (devices = all chips); without one, run on a
+virtual CPU mesh to validate the scaling *structure* (the collective
+pattern and sharding propagation — not absolute speed):
+
+    PYTHONPATH=. JAX_PLATFORMS=cpu \
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+    python scripts/scaling_bench.py
+
+Prints one JSON line per mesh size with steps/s and efficiency vs the
+1-device run scaled linearly.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+
+
+def measure(n_devices: int, envs_per_device: int = 2048, iters: int = 4, reps: int = 3):
+    from codebase_tpu.algos.dqn import build_train_functions
+    from codebase_tpu.config import load_config
+    from codebase_tpu.envs.factory import make_env
+    from codebase_tpu.parallel.mesh import make_mesh
+
+    env = make_env("lbforaging:Foraging-8x8-2p-3f-v3", time_limit=25)
+    cfg = load_config(["+algorithm=idqn"])
+    cfg.algorithm.parallel_envs = envs_per_device * n_devices
+    cfg.algorithm.batch_size = 256
+    cfg.algorithm.updates_per_collect = 8
+    cfg.algorithm.buffer_size = 4 * envs_per_device * n_devices
+    cfg.algorithm.training_start = 0
+
+    mesh = make_mesh(n_devices)
+    _, init_state, train_chunk, _ = build_train_functions(
+        env, env, cfg.algorithm, 25, mesh=mesh
+    )
+    state = init_state(jax.random.PRNGKey(0))
+    state, _ = train_chunk(state, iters)
+    s0 = int(state.env_steps)
+    t0 = time.time()
+    for _ in range(reps):
+        state, _ = train_chunk(state, iters)
+    steps = int(state.env_steps) - s0
+    return steps / (time.time() - t0)
+
+
+def main():
+    from codebase_tpu.utils.compilation_cache import enable as enable_cache
+
+    enable_cache()
+    n = len(jax.devices())
+    sizes = [1] + [s for s in (2, 4, 8, 16, 32) if s <= n]
+    base = None
+    for s in sizes:
+        rate = measure(s)
+        if s == 1:
+            base = rate
+        eff = rate / (base * s) if base else float("nan")
+        print(
+            json.dumps(
+                {
+                    "metric": "idqn_weak_scaling",
+                    "devices": s,
+                    "value": round(rate, 1),
+                    "unit": "env-steps/s",
+                    "efficiency_vs_linear": round(eff, 3),
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()
