@@ -271,7 +271,13 @@ def build_train_functions(
             target_params=jax.tree.map(jnp.copy, params),
             opt_state=opt.init(params),
             buffer=replay_init(
-                buffer_size, time_limit, env.n_agents, env.obs_dim, env.n_actions
+                buffer_size,
+                time_limit,
+                env.n_agents,
+                env.obs_dim,
+                env.n_actions,
+                with_mask=env.has_action_mask,
+                obs_dtype=jnp.dtype(str(acfg.get("replay_obs_dtype", "bfloat16"))),
             ),
             ret_rms=model.init_rms(),
             key=k_loop,

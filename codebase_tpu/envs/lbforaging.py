@@ -316,12 +316,12 @@ class LevelBasedForaging(Environment):
         )
 
     def reset_batch(self, key, n: int):
-        """Same reset distribution as the vmapped scalar path (placement
-        logic is vmapped once per rollout), but the initial observations are
-        computed by the lane-efficient batched path — which equals the
-        scalar one bit-for-bit (tests/test_batched_env.py)."""
-        states = jax.vmap(self._reset_state)(jax.random.split(key, n))
-        bstate = self.to_batch(states)
+        """Bit-identical to `vmap(self.reset)` over `split(key, n)` (pinned
+        by tests/test_batched_env.py), but grid logic runs env-axis-last:
+        per-env randomness is drawn with the same per-env keys (categorical
+        == argmax(logits + gumbel(key)), reproduced explicitly), while the
+        occupancy/neighbourhood arithmetic vectorises over full TPU lanes."""
+        bstate = self._reset_state_batch(jax.random.split(key, n))
         zeros = jnp.zeros((n, self.num_agents), jnp.float32)
         ts = TimeStep(
             obs=self._make_obs_batch(bstate),
@@ -334,6 +334,102 @@ class LevelBasedForaging(Environment):
             ),
         )
         return bstate, ts
+
+    def _reset_state_batch(self, keys) -> LBFBatchState:
+        """E-last spawn logic, key-compatible with `vmap(self._reset_state)`:
+        every random draw uses the same per-env key stream as the scalar
+        path, so results are bit-identical."""
+        R, C, N, F = self.rows, self.cols, self.num_agents, self.max_food
+        RC = R * C
+        E = keys.shape[0]
+        k4 = jax.vmap(lambda k: jax.random.split(k, 4))(keys)  # (E, 4, 2)
+        kp = jax.vmap(lambda k: jax.random.split(k, N))(k4[:, 0])  # (E, N, 2)
+        kf = jax.vmap(lambda k: jax.random.split(k, F))(k4[:, 2])  # (E, F, 2)
+
+        cell_iota = jax.lax.broadcasted_iota(jnp.int32, (RC, E), 0)
+
+        def categorical_cols(logits, step_keys):
+            """argmax(logits + gumbel(key)) per column == per-env
+            jax.random.categorical(key, logits_e)."""
+            g = jax.vmap(lambda k: jax.random.gumbel(k, (RC,)))(step_keys)  # (E, RC)
+            return jnp.argmax(logits + g.T, axis=0).astype(jnp.int32)  # (E,)
+
+        # --- players: sequential uniform over empty cells
+        occ = jnp.zeros((RC, E), bool)
+        player_cells = []
+        for i in range(N):
+            logits = jnp.where(occ, -jnp.inf, 0.0)
+            cell = categorical_cols(logits, kp[:, i])
+            player_cells.append(cell)
+            occ = occ | (cell_iota == cell[None, :])
+        player_cells = jnp.stack(player_cells)  # (N, E)
+        agent_r = player_cells // C
+        agent_c = player_cells % C
+        agent_level = (
+            jax.vmap(
+                lambda k: jax.random.randint(
+                    k, (N,), self.min_player_level, self.max_player_level + 1, jnp.int32
+                )
+            )(k4[:, 1]).T
+        )  # (N, E)
+
+        # --- foods: interior cells, empty, no food in the 8-neighbourhood
+        rr = jnp.arange(R)[:, None]
+        cc = jnp.arange(C)[None, :]
+        interior = ((rr >= 1) & (rr <= R - 2) & (cc >= 1) & (cc <= C - 2))[:, :, None]
+        player_grid = occ.reshape(R, C, E)
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (R, C, E), 0)
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (R, C, E), 1)
+
+        food_grid = jnp.zeros((R, C, E), bool)
+        food_cells, food_act = [], []
+        for j in range(F):
+            padded = jnp.pad(food_grid.astype(jnp.int32), ((1, 1), (1, 1), (0, 0)))
+            neigh = sum(
+                padded[1 + dr : 1 + dr + R, 1 + dc : 1 + dc + C]
+                for dr in (-1, 0, 1)
+                for dc in (-1, 0, 1)
+            )
+            valid = interior & ~player_grid & (neigh == 0)
+            any_valid = jnp.any(valid, axis=(0, 1))  # (E,)
+            logits = jnp.where(valid.reshape(RC, E), 0.0, -jnp.inf)
+            logits = jnp.where(any_valid[None, :], logits, jnp.zeros_like(logits))
+            cell = categorical_cols(logits, kf[:, j])
+            onehot = (row_iota == (cell // C)[None, None, :]) & (
+                col_iota == (cell % C)[None, None, :]
+            )
+            food_grid = food_grid | (onehot & any_valid[None, None, :])
+            food_cells.append(cell)
+            food_act.append(any_valid)
+        food_cells = jnp.stack(food_cells)  # (F, E)
+        food_active = jnp.stack(food_act)  # (F, E)
+
+        lvl_sorted = jnp.sort(agent_level, axis=0)  # (N, E)
+        max_level = jnp.sum(lvl_sorted[: min(3, N)], axis=0)  # (E,)
+        if self.force_coop:
+            food_level = jnp.broadcast_to(max_level[None, :], (F, E)).astype(jnp.int32)
+        else:
+            hi = jnp.maximum(max_level, self.min_food_level + 1)
+            food_level = (
+                jax.vmap(
+                    lambda k, h: jax.random.randint(
+                        k, (F,), self.min_food_level, h, jnp.int32
+                    )
+                )(k4[:, 3], hi).T
+            )  # (F, E)
+        food_level = jnp.where(food_active, food_level, 0)
+
+        return LBFBatchState(
+            agent_r=agent_r.astype(jnp.int32),
+            agent_c=agent_c.astype(jnp.int32),
+            agent_level=agent_level,
+            food_r=(food_cells // C).astype(jnp.int32),
+            food_c=(food_cells % C).astype(jnp.int32),
+            food_level=food_level,
+            food_active=food_active,
+            food_spawned=jnp.sum(food_level, axis=0).astype(jnp.float32),
+            t=jnp.zeros((E,), jnp.int32),
+        )
 
     def step_batch(self, state: LBFBatchState, actions, key):
         """E-last batched transition — exactly `vmap(self.step)` semantics

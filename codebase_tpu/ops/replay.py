@@ -12,9 +12,23 @@ Layout is episode-major (S slots): obs (S, T+1, N, D), actions/rewards
 holds exactly one padded episode (the reference's `max_episode_length` slot,
 `dqn/train.py:40-60`); `pos` counts episodes ever added and the write cursor
 is `pos % S` (`dqn/train.py:86-89`).
+
+TPU storage notes (both trace-driven):
+- obs and action_mask are stored in `obs_dtype` (default bfloat16) and cast
+  back to float32 at sample time. Every shipped env emits small-integer
+  observations (grid coords, levels, one-hots), exactly representable in
+  bf16, so this is lossless here while halving the buffer's HBM footprint
+  and insert/gather traffic; it also stops XLA from materialising a
+  full-buffer f32->bf16 convert each iteration for the loss matmuls
+  (which round inputs to bf16 anyway). Envs with non-integer obs can set
+  `algorithm.replay_obs_dtype: float32`.
+- the mask array is only allocated for envs that actually mask
+  (`with_mask`); otherwise the field is None and sampling returns None.
 """
 
 from __future__ import annotations
+
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +44,7 @@ class ReplayState:
     rewards: jnp.ndarray  # (S, T, N)
     dones: jnp.ndarray  # (S, T+1)
     filled: jnp.ndarray  # (S, T)
-    action_mask: jnp.ndarray  # (S, T+1, N, A)
+    action_mask: Optional[jnp.ndarray]  # (S, T+1, N, A), None for maskless envs
     pos: jnp.ndarray  # () int32 — episodes ever added
 
     @property
@@ -47,16 +61,22 @@ class ReplayState:
 
 
 def replay_init(
-    size: int, time_limit: int, n_agents: int, obs_dim: int, n_actions: int
+    size: int,
+    time_limit: int,
+    n_agents: int,
+    obs_dim: int,
+    n_actions: int,
+    with_mask: bool = True,
+    obs_dtype=jnp.bfloat16,
 ) -> ReplayState:
     S, T, N, D, A = size, time_limit, n_agents, obs_dim, n_actions
     return ReplayState(
-        obs=jnp.zeros((S, T + 1, N, D), jnp.float32),
+        obs=jnp.zeros((S, T + 1, N, D), obs_dtype),
         actions=jnp.zeros((S, T, N), jnp.int32),
         rewards=jnp.zeros((S, T, N), jnp.float32),
         dones=jnp.zeros((S, T + 1), jnp.float32),
         filled=jnp.zeros((S, T), jnp.float32),
-        action_mask=jnp.ones((S, T + 1, N, A), jnp.float32),
+        action_mask=jnp.ones((S, T + 1, N, A), obs_dtype) if with_mask else None,
         pos=jnp.asarray(0, jnp.int32),
     )
 
@@ -94,7 +114,11 @@ def replay_add(state: ReplayState, rollout: Rollout) -> ReplayState:
         rewards=ins(state.rewards, em(rollout.rewards)),
         dones=ins(state.dones, em(rollout.dones)),
         filled=ins(state.filled, em(rollout.filled)),
-        action_mask=ins(state.action_mask, em(rollout.action_mask)),
+        action_mask=(
+            ins(state.action_mask, em(rollout.action_mask))
+            if state.action_mask is not None
+            else None
+        ),
         pos=state.pos + E,
     )
 
@@ -109,10 +133,14 @@ def replay_sample(state: ReplayState, key, batch_size: int):
     idx = jax.random.randint(key, (batch_size,), 0, state.num_stored)
     obs = state.obs[idx]  # (B, T+1, N, D)
     return dict(
-        obss=jnp.transpose(obs, (2, 1, 0, 3)),
+        obss=jnp.transpose(obs, (2, 1, 0, 3)).astype(jnp.float32),
         actions=jnp.transpose(state.actions[idx], (2, 1, 0)),
         rewards=jnp.transpose(state.rewards[idx], (2, 1, 0)),
         dones=jnp.transpose(state.dones[idx], (1, 0)),
         filled=jnp.transpose(state.filled[idx], (1, 0)),
-        action_mask=jnp.transpose(state.action_mask[idx], (2, 1, 0, 3)),
+        action_mask=(
+            jnp.transpose(state.action_mask[idx], (2, 1, 0, 3)).astype(jnp.float32)
+            if state.action_mask is not None
+            else None
+        ),
     )

@@ -69,7 +69,7 @@ def dqn_state_shardings(state, mesh: Mesh):
             rewards=buf,
             dones=buf,
             filled=buf,
-            action_mask=buf,
+            action_mask=buf if state.buffer.action_mask is not None else None,
             pos=rep,
         )
     )

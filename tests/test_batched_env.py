@@ -49,6 +49,24 @@ def test_lbf_step_batch_matches_vmapped_scalar(name):
     _random_rollout_equal(make_base_env(f"lbforaging:{name}"), key=3)
 
 
+@pytest.mark.parametrize(
+    "name", ["Foraging-8x8-2p-3f-v3", "Foraging-10x10-3p-3f-v3", "Foraging-8x8-2p-2f-coop-v3"]
+)
+def test_lbf_reset_batch_bit_exact(name):
+    """reset_batch == vmap(reset) over the same key split, bit for bit
+    (the E-last spawn logic reproduces per-env categorical draws exactly)."""
+    base = make_base_env(f"lbforaging:{name}")
+    key = jax.random.PRNGKey(9)
+    states, ts = jax.jit(jax.vmap(base.reset))(jax.random.split(key, E))
+    bstate, bts = jax.jit(base.reset_batch, static_argnums=1)(key, E)
+    rt = base.from_batch(bstate)
+    for field in ("agent_pos", "agent_level", "food_pos", "food_level", "food_active", "food_spawned"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(states, field)), np.asarray(getattr(rt, field)), err_msg=field
+        )
+    np.testing.assert_array_equal(np.asarray(ts.obs), np.asarray(bts.obs))
+
+
 def test_lbf_step_batch_with_penalty():
     env = LevelBasedForaging(rows=6, cols=6, num_agents=2, max_food=2, sight=6, penalty=0.1)
     _random_rollout_equal(env, key=5)
