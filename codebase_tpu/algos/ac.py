@@ -81,6 +81,7 @@ class ACModel:
             parameter_sharing=a.parameter_sharing,
             use_rnn=a.use_rnn,
             use_orthogonal_init=a.use_orthogonal_init,
+            compute_dtype=str(a.get("dtype", "float32")),
         )
         centralised = bool(c.centralised)
         critic_inputs = (
@@ -93,6 +94,7 @@ class ACModel:
             parameter_sharing=c.parameter_sharing,
             use_rnn=c.use_rnn,
             use_orthogonal_init=c.use_orthogonal_init,
+            compute_dtype=str(c.get("dtype", "float32")),
         )
         return ACModel(
             actor=actor,

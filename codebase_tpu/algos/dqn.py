@@ -79,6 +79,7 @@ class DQNModel:
             parameter_sharing=model_cfg.parameter_sharing,
             use_rnn=model_cfg.use_rnn,
             use_orthogonal_init=model_cfg.use_orthogonal_init,
+            compute_dtype=str(model_cfg.get("dtype", "float32")),
         )
         mixer = None
         if mixer_type == "qmix":

@@ -65,6 +65,7 @@ class MultiAgentNetwork:
     sharing: Tuple[int, ...]  # per-agent group id, 0..G-1 (use `create`)
     use_rnn: bool = False
     use_orthogonal_init: bool = True
+    compute_dtype: str = "float32"  # "bfloat16" = mixed-precision MXU matmuls
 
     @staticmethod
     def create(
@@ -74,6 +75,7 @@ class MultiAgentNetwork:
         parameter_sharing: Union[bool, Sequence[int]] = False,
         use_rnn: bool = False,
         use_orthogonal_init: bool = True,
+        compute_dtype: str = "float32",
     ) -> "MultiAgentNetwork":
         n_agents = len(input_sizes)
         assert len(output_sizes) == n_agents, "Expect same number of input and output sizes"
@@ -89,6 +91,7 @@ class MultiAgentNetwork:
             sharing=resolve_sharing(parameter_sharing, n_agents),
             use_rnn=use_rnn,
             use_orthogonal_init=use_orthogonal_init,
+            compute_dtype=compute_dtype,
         )
 
     @property
@@ -102,7 +105,7 @@ class MultiAgentNetwork:
     @property
     def net(self):
         dims = (self.input_sizes[0],) + self.hidden_dims + (self.output_sizes[0],)
-        return make_network_spec(dims, self.use_rnn, self.use_orthogonal_init)
+        return make_network_spec(dims, self.use_rnn, self.use_orthogonal_init, self.compute_dtype)
 
     @property
     def agent_to_group(self) -> jnp.ndarray:

@@ -82,11 +82,11 @@ def gru_layer_init(key, in_dim: int, hidden: int):
     }
 
 
-def gru_cell(params, x, h):
+def gru_cell(params, x, h, compute_dtype: str = "float32"):
     """One GRU step, torch gate convention. x: (..., in), h: (..., H)."""
     hidden = h.shape[-1]
-    gi = x @ params["w_ih"] + params["b_ih"]
-    gh = h @ params["w_hh"] + params["b_hh"]
+    gi = _matmul(x, params["w_ih"], compute_dtype) + params["b_ih"]
+    gh = _matmul(h, params["w_hh"], compute_dtype) + params["b_hh"]
     i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
     h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
     del hidden
@@ -101,12 +101,33 @@ def gru_cell(params, x, h):
 # ---------------------------------------------------------------------------
 
 
+def _matmul(x, w, compute_dtype: str):
+    """x @ w, optionally with bfloat16 MXU inputs and float32 accumulation.
+
+    TPU mixed precision: casting matmul INPUTS to bf16 doubles-plus MXU
+    throughput; `preferred_element_type=float32` keeps the accumulator and
+    everything downstream (bias, activation, losses) in f32. Exactness note:
+    with the default f32 path XLA already rounds MXU inputs to bf16 unless
+    higher precision is requested, so on TPU this mostly removes convert
+    traffic rather than changing numerics; on CPU it is a real reduction.
+    """
+    if compute_dtype == "bfloat16":
+        return jax.lax.dot_general(
+            x.astype(jnp.bfloat16),
+            w.astype(jnp.bfloat16),
+            dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    return x @ w
+
+
 @dataclass(frozen=True)
 class MLPSpec:
     """Fully-connected network: Linear(+ReLU) stack (`utils/models.py:14-48`)."""
 
     dims: Tuple[int, ...]  # (in, h1, ..., out)
     use_orthogonal_init: bool = True
+    compute_dtype: str = "float32"  # "float32" | "bfloat16" (mixed precision)
 
     def init(self, key):
         keys = jax.random.split(key, len(self.dims) - 1)
@@ -121,7 +142,7 @@ class MLPSpec:
         """x: (..., in) -> (..., out); ReLU between layers, none on output."""
         n = len(params["layers"])
         for i, layer in enumerate(params["layers"]):
-            x = x @ layer["w"] + layer["b"]
+            x = _matmul(x, layer["w"], self.compute_dtype) + layer["b"]
             if i < n - 1:
                 x = jax.nn.relu(x)
         return x, h
@@ -146,6 +167,7 @@ class RNNSpec:
 
     dims: Tuple[int, ...]
     use_orthogonal_init: bool = True
+    compute_dtype: str = "float32"
 
     def __post_init__(self):
         assert len(self.dims) > 2, "Need >= 3 dims for RNN"
@@ -180,28 +202,28 @@ class RNNSpec:
         assert x.ndim == 3, "Expect (seq_len, batch, input_size)"
         if h is None:
             h = self.init_hiddens(x.shape[1])
-        x = jax.nn.relu(x @ params["first"]["w"] + params["first"]["b"])
+        x = jax.nn.relu(_matmul(x, params["first"]["w"], self.compute_dtype) + params["first"]["b"])
 
         new_hiddens = []
         for layer_idx, layer in enumerate(params["gru"]):
             h0 = h[layer_idx]
 
             def step(carry, xt, layer=layer):
-                hnext = gru_cell(layer, xt, carry)
+                hnext = gru_cell(layer, xt, carry, self.compute_dtype)
                 return hnext, hnext
 
             h_last, x = jax.lax.scan(step, h0, x)
             new_hiddens.append(h_last)
-        y = x @ params["final"]["w"] + params["final"]["b"]
+        y = _matmul(x, params["final"]["w"], self.compute_dtype) + params["final"]["b"]
         return y, jnp.stack(new_hiddens)
 
     def init_hiddens(self, batch_size: int):
         return jnp.zeros((self.num_rnn_layers, batch_size, self.hidden_size), jnp.float32)
 
 
-def make_network_spec(dims, use_rnn=False, use_orthogonal_init=True):
+def make_network_spec(dims, use_rnn=False, use_orthogonal_init=True, compute_dtype="float32"):
     """`make_network` switch (`utils/models.py:119-130`)."""
     dims = tuple(int(d) for d in dims)
     if use_rnn:
-        return RNNSpec(dims, use_orthogonal_init)
-    return MLPSpec(dims, use_orthogonal_init)
+        return RNNSpec(dims, use_orthogonal_init, compute_dtype)
+    return MLPSpec(dims, use_orthogonal_init, compute_dtype)
