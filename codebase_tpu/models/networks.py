@@ -223,6 +223,10 @@ class RNNSpec:
 
 def make_network_spec(dims, use_rnn=False, use_orthogonal_init=True, compute_dtype="float32"):
     """`make_network` switch (`utils/models.py:119-130`)."""
+    if compute_dtype not in ("float32", "bfloat16"):
+        raise ValueError(
+            f"unsupported model dtype {compute_dtype!r}; choose float32 or bfloat16"
+        )
     dims = tuple(int(d) for d in dims)
     if use_rnn:
         return RNNSpec(dims, use_orthogonal_init, compute_dtype)

@@ -129,6 +129,9 @@ class FileSystemLogger(Logger):
     def get_state(self):
         import pandas as pd
 
+        if not self.results_path.exists():
+            # run ended before the first eval interval — nothing logged
+            return None
         return pd.read_csv(self.results_path, index_col=0)
 
 
