@@ -6,26 +6,36 @@ per-agent `action_mask` in the step info
 (`marlbase/utils/smaclite_wrapper.py:10-25`); masks are threaded through
 every loss and the exploration policies (`dqn/model.py:100-113`,
 `ac/model.py:135-145`). This module provides that whole capability natively:
-a vectorisable gridworld micromanagement battle in the SMAC mould —
-marine-vs-marine fights with health, attack ranges, cooldowns, a scripted
-opponent, shaped team rewards and win bonuses — with exact SMAC-style
-action semantics:
+a vectorisable gridworld micromanagement battle in the SMAC mould with the
+classic scenario roster — marines, stalkers, zealots, marauders and healing
+medivacs — health, per-type damage/range/cooldown, a scripted opponent,
+shaped team rewards and win bonuses, with exact SMAC-style action semantics:
 
 - actions: 0 = no-op (only valid when dead), 1 = stop, 2..5 = move N/S/W/E,
-  5+j = attack enemy j (valid iff alive, enemy j alive and within range);
+  6+j = attack enemy j — except medivacs, whose target slots heal ALLY j
+  (SMAC's medivac convention); `n_actions = 6 + max targets`, shorter
+  target lists are masked off;
 - masks: each agent's valid-action vector, exposed via
   `TimeStep.action_mask` with `has_action_mask = True`;
-- reward: (damage dealt + 10 per kill + 200 on win) / max_reward, identical
-  for every agent (the scalar broadcast of `smaclite_wrapper.py:19-22`);
-- termination: one side eliminated or `max_steps`.
+- reward: (damage dealt + kill bonus per kill + win bonus on victory)
+  normalised by max_reward, identical for every agent (the scalar broadcast
+  of `smaclite_wrapper.py:19-22`);
+- termination: one side eliminated or `max_steps`;
+- observations: own features + per-enemy and per-ally feature blocks, with
+  unit-type one-hots appended when the scenario is heterogeneous
+  (SMAC's `unit_type_bits` convention — homogeneous scenarios carry none).
 
-Scenario ids: `smaclite:{N}m[_vs_{M}m]-v0` (e.g. `smaclite:5m-v0`,
-`smaclite:5m_vs_6m-v0`) — symmetric or asymmetric marine fights.
+Scenario ids (optionally prefixed `smaclite:` and suffixed `-v0`):
+`{N}m[_vs_{M}m]` marine fights, `2s3z`, `3s5z`, `3s5z_vs_3s6z`
+(stalkers+zealots), `MMM`, `MMM2` (medivac+marauders+marines), and any
+`<count><unit>...[_vs_...]` combo with units m/s/z/r/d
+(marine/stalker/zealot/marauder/medivac).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
+from typing import Tuple
 
 import numpy as np
 import jax
@@ -38,6 +48,18 @@ NOOP, STOP, MOVE_N, MOVE_S, MOVE_W, MOVE_E = range(6)
 _MOVE_DELTAS = np.array(
     [[0, 0], [0, 0], [-1, 0], [1, 0], [0, -1], [0, 1]], dtype=np.int32
 )
+
+# unit stats: (max_hp incl shields, damage-or-heal per shot, attack range
+# [Chebyshev cells], cooldown steps, is_healer). Condensed from the SC2
+# unit table the smaclite package mirrors.
+UNIT_STATS = {
+    "marine": (45.0, 6.0, 4, 1, False),
+    "stalker": (160.0, 13.0, 5, 1, False),
+    "zealot": (150.0, 16.0, 1, 1, False),
+    "marauder": (125.0, 10.0, 5, 1, False),
+    "medivac": (150.0, 15.0, 4, 1, True),
+}
+_UNIT_ORDER = tuple(UNIT_STATS)
 
 
 @struct.dataclass
@@ -55,40 +77,93 @@ class CombatState:
 class SmacLiteCombat(Environment):
     n_allies: int = 5
     n_enemies: int = 5
+    # unit type names per slot; empty = all marines (backward compatible)
+    ally_types: Tuple[str, ...] = ()
+    enemy_types: Tuple[str, ...] = ()
     rows: int = 16
     cols: int = 16
-    max_hp: float = 45.0  # marine
-    damage: float = 6.0
-    attack_range: int = 4  # Chebyshev cells
     sight_range: int = 6
-    cooldown: int = 1
     max_steps: int = 100
     kill_bonus: float = 10.0
     win_bonus: float = 200.0
+    # optional uniform overrides of the per-type stats (None = use the table)
+    max_hp: float = None  # type: ignore[assignment]
+    damage: float = None  # type: ignore[assignment]
+    attack_range: int = None  # type: ignore[assignment]
+    cooldown: int = None  # type: ignore[assignment]
+
+    # ------------------------------------------------------------- type stats
+
+    @property
+    def a_types(self) -> Tuple[str, ...]:
+        return self.ally_types or ("marine",) * self.n_allies
+
+    @property
+    def e_types(self) -> Tuple[str, ...]:
+        return self.enemy_types or ("marine",) * self.n_enemies
+
+    def _stats(self, types, idx):
+        override = (self.max_hp, self.damage, self.attack_range, self.cooldown, None)[idx]
+        if override is not None:
+            return np.asarray([override] * len(types))
+        return np.asarray([UNIT_STATS[t][idx] for t in types])
 
     @property
     def n_agents(self) -> int:
-        return self.n_allies
+        return len(self.a_types)
+
+    @property
+    def _n_e(self) -> int:
+        return len(self.e_types)
+
+    @property
+    def _has_medivac(self) -> bool:
+        return any(UNIT_STATS[t][4] for t in self.a_types + self.e_types)
 
     @property
     def n_actions(self) -> int:
-        return 6 + self.n_enemies
+        # medivac target slots index allies; uniform action space = 6 + max
+        n_targets = self._n_e
+        if self._has_medivac:
+            n_targets = max(n_targets, self.n_agents, len(self.e_types))
+        return 6 + n_targets
 
     @property
     def has_action_mask(self) -> bool:
         return True
 
     @property
+    def type_bits(self) -> int:
+        """SMAC unit_type_bits: one-hot width, 0 for homogeneous scenarios."""
+        distinct = sorted(set(self.a_types + self.e_types), key=_UNIT_ORDER.index)
+        return len(distinct) if len(distinct) > 1 else 0
+
+    @property
+    def _type_table(self) -> Tuple[str, ...]:
+        return tuple(sorted(set(self.a_types + self.e_types), key=_UNIT_ORDER.index))
+
+    def _type_onehot(self, types) -> np.ndarray:
+        """(len(types), type_bits) one-hot rows (empty when homogeneous)."""
+        tb = self.type_bits
+        out = np.zeros((len(types), tb), np.float32)
+        if tb:
+            table = self._type_table
+            for i, t in enumerate(types):
+                out[i, table.index(t)] = 1.0
+        return out
+
+    @property
     def obs_dim(self) -> int:
-        # own: hp, cd_ready, y, x  + per-enemy: visible, rel_y, rel_x, hp, in_range
-        # + per-other-ally: visible, rel_y, rel_x, hp
-        return 4 + self.n_enemies * 5 + (self.n_allies - 1) * 4
+        tb = self.type_bits
+        # own: hp, cd_ready, y, x [+type] ; enemy: visible, rel_y, rel_x, hp,
+        # in_range [+type] ; other ally: visible, rel_y, rel_x, hp [+type]
+        return (4 + tb) + self._n_e * (5 + tb) + (self.n_agents - 1) * (4 + tb)
 
     @property
     def max_reward(self) -> float:
         return (
-            self.n_enemies * self.max_hp
-            + self.n_enemies * self.kill_bonus
+            float(self._stats(self.e_types, 0).sum())
+            + len(self.e_types) * self.kill_bonus
             + self.win_bonus
         )
 
@@ -96,7 +171,7 @@ class SmacLiteCombat(Environment):
 
     def reset(self, key):
         k_a, k_e = jax.random.split(key)
-        N, M = self.n_allies, self.n_enemies
+        N, M = self.n_agents, self._n_e
         # allies spawn on the left quarter, enemies on the right quarter
         ar = jax.random.randint(k_a, (N,), 0, self.rows)
         ac = jax.random.randint(jax.random.fold_in(k_a, 1), (N,), 0, self.cols // 4)
@@ -106,10 +181,10 @@ class SmacLiteCombat(Environment):
         )
         state = CombatState(
             ally_pos=jnp.stack([ar, ac], -1).astype(jnp.int32),
-            ally_hp=jnp.full((N,), self.max_hp, jnp.float32),
+            ally_hp=jnp.asarray(self._stats(self.a_types, 0), jnp.float32),
             ally_cd=jnp.zeros((N,), jnp.int32),
             enemy_pos=jnp.stack([er, ec], -1).astype(jnp.int32),
-            enemy_hp=jnp.full((M,), self.max_hp, jnp.float32),
+            enemy_hp=jnp.asarray(self._stats(self.e_types, 0), jnp.float32),
             enemy_cd=jnp.zeros((M,), jnp.int32),
             t=jnp.asarray(0, jnp.int32),
         )
@@ -127,10 +202,14 @@ class SmacLiteCombat(Environment):
     # ------------------------------------------------------------------ masks
 
     def avail_actions(self, state: CombatState):
-        """(N, A) float mask: SMAC availability rules."""
-        N, M = self.n_allies, self.n_enemies
+        """(N, A) float mask: SMAC availability rules. Attack slots target
+        enemies for fighters, allies (heal, not self, damaged) for medivacs."""
+        N, M = self.n_agents, self._n_e
         alive = state.ally_hp > 0  # (N,)
         e_alive = state.enemy_hp > 0  # (M,)
+        a_range = jnp.asarray(self._stats(self.a_types, 2), jnp.int32)  # (N,)
+        healer = jnp.asarray(self._stats(self.a_types, 4).astype(bool))  # (N,)
+        a_maxhp = jnp.asarray(self._stats(self.a_types, 0), jnp.float32)
 
         target = state.ally_pos[:, None, :] + jnp.asarray(_MOVE_DELTAS)[None, 2:6, :]
         move_ok = (
@@ -140,10 +219,26 @@ class SmacLiteCombat(Environment):
             & (target[..., 1] < self.cols)
         )  # (N, 4)
 
-        dist = jnp.max(
+        n_targets = self.n_actions - 6
+        dist_e = jnp.max(
             jnp.abs(state.ally_pos[:, None, :] - state.enemy_pos[None, :, :]), axis=-1
-        )  # (N, M) Chebyshev
-        attack_ok = e_alive[None, :] & (dist <= self.attack_range)  # (N, M)
+        )  # (N, M)
+        attack_ok = e_alive[None, :] & (dist_e <= a_range[:, None])  # (N, M)
+        attack_ok = jnp.pad(attack_ok, ((0, 0), (0, n_targets - M)))
+
+        if self._has_medivac:
+            dist_a = jnp.max(
+                jnp.abs(state.ally_pos[:, None, :] - state.ally_pos[None, :, :]),
+                axis=-1,
+            )  # (N, N)
+            damaged = alive & (state.ally_hp < a_maxhp)  # (N,)
+            heal_ok = (
+                damaged[None, :]
+                & (dist_a <= a_range[:, None])
+                & ~jnp.eye(N, dtype=bool)  # cannot heal self
+            )  # (N, N)
+            heal_ok = jnp.pad(heal_ok, ((0, 0), (0, n_targets - N)))
+            attack_ok = jnp.where(healer[:, None], heal_ok, attack_ok)
 
         mask = jnp.concatenate(
             [
@@ -159,14 +254,23 @@ class SmacLiteCombat(Environment):
     # ------------------------------------------------------------------ step
 
     def step(self, state: CombatState, actions, key):
-        N, M = self.n_allies, self.n_enemies
+        N, M = self.n_agents, self._n_e
         actions = jnp.asarray(actions, jnp.int32)
         alive = state.ally_hp > 0
         e_alive = state.enemy_hp > 0
+        a_dmg = jnp.asarray(self._stats(self.a_types, 1), jnp.float32)
+        a_cds = jnp.asarray(self._stats(self.a_types, 3), jnp.int32)
+        a_maxhp = jnp.asarray(self._stats(self.a_types, 0), jnp.float32)
+        healer = jnp.asarray(self._stats(self.a_types, 4).astype(bool))
+        e_dmg = jnp.asarray(self._stats(self.e_types, 1), jnp.float32)
+        e_range = jnp.asarray(self._stats(self.e_types, 2), jnp.int32)
+        e_cds = jnp.asarray(self._stats(self.e_types, 3), jnp.int32)
+        e_maxhp = jnp.asarray(self._stats(self.e_types, 0), jnp.float32)
+        e_healer = jnp.asarray(self._stats(self.e_types, 4).astype(bool))
 
         # invalid actions become STOP (masked policies should not emit them)
         mask = self.avail_actions(state)
-        valid = jnp.take_along_axis(mask, actions[:, None], axis=1)[:, 0] > 0
+        valid = jnp.sum(mask * jax.nn.one_hot(actions, mask.shape[1]), axis=1) > 0
         actions = jnp.where(valid, actions, STOP)
 
         # --- ally movement
@@ -178,39 +282,72 @@ class SmacLiteCombat(Environment):
             jnp.asarray([self.rows - 1, self.cols - 1]),
         )
 
-        # --- ally attacks
-        attacking = (actions >= 6) & alive & (state.ally_cd == 0)
-        target_id = jnp.clip(actions - 6, 0, M - 1)
+        # --- ally attacks / heals
+        targeting = (actions >= 6) & alive & (state.ally_cd == 0)
+        attacking = targeting & ~healer
+        healing = targeting & healer
+        target_id = jnp.clip(actions - 6, 0, max(M, N) - 1)
         dmg_to_enemy = (
             jnp.zeros((M,), jnp.float32)
-            .at[jnp.where(attacking, target_id, M)]
-            .add(self.damage, mode="drop")
+            .at[jnp.where(attacking, jnp.clip(target_id, 0, M - 1), M)]
+            .add(jnp.where(attacking, a_dmg, 0.0), mode="drop")
         )
         dmg_to_enemy = jnp.minimum(dmg_to_enemy, state.enemy_hp)  # no overkill credit
         enemy_hp = jnp.maximum(state.enemy_hp - dmg_to_enemy, 0.0)
         kills = e_alive & (enemy_hp <= 0)
-        ally_cd = jnp.where(attacking, self.cooldown, jnp.maximum(state.ally_cd - 1, 0))
+        heal_to_ally = (
+            jnp.zeros((N,), jnp.float32)
+            .at[jnp.where(healing, jnp.clip(target_id, 0, N - 1), N)]
+            .add(jnp.where(healing, a_dmg, 0.0), mode="drop")
+        )
+        ally_cd = jnp.where(targeting, a_cds, jnp.maximum(state.ally_cd - 1, 0))
 
-        # --- scripted enemies: attack nearest ally in range, else advance
+        # --- scripted enemies: fighters attack the nearest ally in range,
+        # else advance; enemy medivacs heal their most-damaged teammate
         dist = jnp.max(
             jnp.abs(state.enemy_pos[:, None, :] - ally_pos[None, :, :]), axis=-1
         )  # (M, N)
         dist = jnp.where(alive[None, :], dist, 10**6)
         nearest = jnp.argmin(dist, axis=1)  # (M,)
         nearest_dist = jnp.min(dist, axis=1)
-        can_shoot = e_alive & (nearest_dist <= self.attack_range) & (state.enemy_cd == 0) & jnp.any(alive)
+        any_ally = jnp.any(alive)
+        can_act = e_alive & (state.enemy_cd == 0) & any_ally
+        can_shoot = can_act & ~e_healer & (nearest_dist <= e_range)
         dmg_to_ally = (
             jnp.zeros((N,), jnp.float32)
             .at[jnp.where(can_shoot, nearest, N)]
-            .add(self.damage, mode="drop")
+            .add(jnp.where(can_shoot, e_dmg, 0.0), mode="drop")
         )
-        ally_hp = jnp.maximum(state.ally_hp - dmg_to_ally, 0.0)
-        enemy_cd = jnp.where(can_shoot, self.cooldown, jnp.maximum(state.enemy_cd - 1, 0))
 
-        # enemies not shooting step toward their nearest ally
+        # enemy healers: most-damaged living teammate within range
+        e_dist = jnp.max(
+            jnp.abs(state.enemy_pos[:, None, :] - state.enemy_pos[None, :, :]), axis=-1
+        )  # (M, M)
+        deficit = jnp.where(e_alive, e_maxhp - state.enemy_hp, -1.0)  # (M,)
+        healable = (
+            (deficit[None, :] > 0)
+            & (e_dist <= e_range[:, None])
+            & ~jnp.eye(M, dtype=bool)
+        )  # (M, M)
+        heal_target = jnp.argmax(jnp.where(healable, deficit[None, :], -1.0), axis=1)
+        can_heal = can_act & e_healer & jnp.any(healable, axis=1)
+        heal_to_enemy = (
+            jnp.zeros((M,), jnp.float32)
+            .at[jnp.where(can_heal, heal_target, M)]
+            .add(jnp.where(can_heal, e_dmg, 0.0), mode="drop")
+        )
+
+        ally_hp = jnp.clip(state.ally_hp - dmg_to_ally + heal_to_ally, 0.0, a_maxhp)
+        ally_hp = jnp.where(alive, ally_hp, 0.0)  # heals cannot resurrect
+        enemy_hp = jnp.clip(enemy_hp + heal_to_enemy, 0.0, e_maxhp)
+        enemy_hp = jnp.where(e_alive, enemy_hp, 0.0)
+        acted = can_shoot | can_heal
+        enemy_cd = jnp.where(acted, e_cds, jnp.maximum(state.enemy_cd - 1, 0))
+
+        # enemies not acting step toward their nearest ally
         tgt_pos = ally_pos[nearest]  # (M, 2)
         step_vec = jnp.sign(tgt_pos - state.enemy_pos)
-        advance = e_alive & ~can_shoot & jnp.any(alive)
+        advance = e_alive & ~acted & any_ally
         enemy_pos = jnp.clip(
             state.enemy_pos + jnp.where(advance[:, None], step_vec, 0),
             0,
@@ -253,33 +390,43 @@ class SmacLiteCombat(Environment):
     # ------------------------------------------------------------ observations
 
     def _make_obs(self, state: CombatState):
-        N, M = self.n_allies, self.n_enemies
+        N, M = self.n_agents, self._n_e
         scale_r, scale_c = float(self.rows), float(self.cols)
+        a_maxhp = jnp.asarray(self._stats(self.a_types, 0), jnp.float32)
+        a_range = jnp.asarray(self._stats(self.a_types, 2), jnp.int32)
+        e_maxhp = jnp.asarray(self._stats(self.e_types, 0), jnp.float32)
+        tb = self.type_bits
+        a_onehot = jnp.asarray(self._type_onehot(self.a_types))  # (N, tb)
+        e_onehot = jnp.asarray(self._type_onehot(self.e_types))  # (M, tb)
 
         def one_agent(i):
             pos = state.ally_pos[i]
             own = jnp.asarray(
                 [
-                    state.ally_hp[i] / self.max_hp,
+                    state.ally_hp[i] / a_maxhp[i],
                     (state.ally_cd[i] == 0).astype(jnp.float32),
                     pos[0] / scale_r,
                     pos[1] / scale_c,
                 ]
             )
+            if tb:
+                own = jnp.concatenate([own, a_onehot[i]])
             # enemies
             rel_e = (state.enemy_pos - pos[None, :]).astype(jnp.float32)
             dist_e = jnp.max(jnp.abs(rel_e), axis=-1)
             vis_e = (state.enemy_hp > 0) & (dist_e <= self.sight_range)
-            enemy_feats = jnp.stack(
-                [
-                    vis_e.astype(jnp.float32),
-                    jnp.where(vis_e, rel_e[:, 0] / scale_r, 0.0),
-                    jnp.where(vis_e, rel_e[:, 1] / scale_c, 0.0),
-                    jnp.where(vis_e, state.enemy_hp / self.max_hp, 0.0),
-                    (vis_e & (dist_e <= self.attack_range)).astype(jnp.float32),
-                ],
-                axis=-1,
-            ).reshape(-1)
+            cols_e = [
+                vis_e.astype(jnp.float32),
+                jnp.where(vis_e, rel_e[:, 0] / scale_r, 0.0),
+                jnp.where(vis_e, rel_e[:, 1] / scale_c, 0.0),
+                jnp.where(vis_e, state.enemy_hp / e_maxhp, 0.0),
+                (vis_e & (dist_e <= a_range[i])).astype(jnp.float32),
+            ]
+            enemy_feats = jnp.stack(cols_e, axis=-1)
+            if tb:
+                enemy_feats = jnp.concatenate(
+                    [enemy_feats, vis_e[:, None] * e_onehot], axis=-1
+                )
             # other allies (drop self slot)
             rel_a = (state.ally_pos - pos[None, :]).astype(jnp.float32)
             dist_a = jnp.max(jnp.abs(rel_a), axis=-1)
@@ -289,13 +436,19 @@ class SmacLiteCombat(Environment):
                     vis_a.astype(jnp.float32),
                     jnp.where(vis_a, rel_a[:, 0] / scale_r, 0.0),
                     jnp.where(vis_a, rel_a[:, 1] / scale_c, 0.0),
-                    jnp.where(vis_a, state.ally_hp / self.max_hp, 0.0),
+                    jnp.where(vis_a, state.ally_hp / a_maxhp, 0.0),
                 ],
                 axis=-1,
             )
-            others = jnp.concatenate([ally_feats[:i], ally_feats[i + 1 :]], axis=0).reshape(-1)
+            if tb:
+                ally_feats = jnp.concatenate(
+                    [ally_feats, vis_a[:, None] * a_onehot], axis=-1
+                )
+            others = jnp.concatenate(
+                [ally_feats[:i], ally_feats[i + 1 :]], axis=0
+            ).reshape(-1)
             dead = state.ally_hp[i] <= 0
-            obs = jnp.concatenate([own, enemy_feats, others])
+            obs = jnp.concatenate([own, enemy_feats.reshape(-1), others])
             return jnp.where(dead, jnp.zeros_like(obs), obs)
 
         # unroll over the (small, static) agent count: the self-exclusion
@@ -307,29 +460,68 @@ class SmacLiteCombat(Environment):
         img = np.full((self.rows * cell, self.cols * cell, 3), 20, np.uint8)
         apos, ahp = np.asarray(state.ally_pos), np.asarray(state.ally_hp)
         epos, ehp = np.asarray(state.enemy_pos), np.asarray(state.enemy_hp)
-        for i in range(self.n_allies):
+        a_maxhp = self._stats(self.a_types, 0)
+        e_maxhp = self._stats(self.e_types, 0)
+        for i in range(self.n_agents):
             if ahp[i] > 0:
                 r, c = apos[i]
                 img[r * cell + 2 : (r + 1) * cell - 2, c * cell + 2 : (c + 1) * cell - 2] = (
                     0,
-                    80 + int(170 * ahp[i] / self.max_hp),
+                    80 + int(170 * ahp[i] / a_maxhp[i]),
                     220,
                 )
-        for j in range(self.n_enemies):
+        for j in range(self._n_e):
             if ehp[j] > 0:
                 r, c = epos[j]
                 img[r * cell + 2 : (r + 1) * cell - 2, c * cell + 2 : (c + 1) * cell - 2] = (
                     220,
-                    80 + int(170 * ehp[j] / self.max_hp),
+                    80 + int(170 * ehp[j] / e_maxhp[j]),
                     0,
                 )
         return img
 
 
+_UNIT_LETTERS = {
+    "m": "marine",
+    "s": "stalker",
+    "z": "zealot",
+    "r": "marauder",
+    "d": "medivac",
+}
+
+
+def _parse_side(spec: str) -> Tuple[str, ...]:
+    """'3s5z' -> 3 stalkers + 5 zealots; 'MMM'-family handled by caller."""
+    units = []
+    count = ""
+    for ch in spec:
+        if ch.isdigit():
+            count += ch
+        else:
+            assert ch in _UNIT_LETTERS, f"unknown unit letter {ch!r} in {spec!r}"
+            units.extend([_UNIT_LETTERS[ch]] * int(count or 1))
+            count = ""
+    assert not count, f"trailing count in {spec!r}"
+    return tuple(units)
+
+
 def parse_smaclite_name(name: str) -> SmacLiteCombat:
-    """`smaclite:{N}m[_vs_{M}m][-v0]` marine scenarios."""
+    """Scenario ids: `{N}m[_vs_{M}m]`, `2s3z`, `3s5z`, `3s5z_vs_3s6z`,
+    `MMM`, `MMM2`, or any `<count><unit>` combo (units m/s/z/r/d),
+    optionally `smaclite:`-prefixed and `-v0`-suffixed."""
     base = name.split(":")[-1].split("-")[0]
-    parts = base.split("_vs_")
-    n = int(parts[0].rstrip("m"))
-    m = int(parts[1].rstrip("m")) if len(parts) > 1 else n
-    return SmacLiteCombat(n_allies=n, n_enemies=m)
+    if base == "MMM":
+        allies = enemies = ("medivac",) + ("marauder",) * 2 + ("marine",) * 7
+    elif base == "MMM2":
+        allies = ("medivac",) + ("marauder",) * 2 + ("marine",) * 7
+        enemies = ("medivac",) + ("marauder",) * 3 + ("marine",) * 8
+    else:
+        parts = base.split("_vs_")
+        allies = _parse_side(parts[0])
+        enemies = _parse_side(parts[1]) if len(parts) > 1 else allies
+    return SmacLiteCombat(
+        n_allies=len(allies),
+        n_enemies=len(enemies),
+        ally_types=allies,
+        enemy_types=enemies,
+    )

@@ -9,14 +9,17 @@ from codebase_tpu.envs.factory import make_env
 
 
 def mk_state(env, ally_pos, enemy_pos, ally_hp=None, enemy_hp=None):
-    N, M = env.n_allies, env.n_enemies
     return CombatState(
         ally_pos=jnp.asarray(ally_pos, jnp.int32),
-        ally_hp=jnp.asarray(ally_hp if ally_hp is not None else [env.max_hp] * N, jnp.float32),
-        ally_cd=jnp.zeros((N,), jnp.int32),
+        ally_hp=jnp.asarray(
+            ally_hp if ally_hp is not None else env._stats(env.a_types, 0), jnp.float32
+        ),
+        ally_cd=jnp.zeros((env.n_agents,), jnp.int32),
         enemy_pos=jnp.asarray(enemy_pos, jnp.int32),
-        enemy_hp=jnp.asarray(enemy_hp if enemy_hp is not None else [env.max_hp] * M, jnp.float32),
-        enemy_cd=jnp.zeros((M,), jnp.int32),
+        enemy_hp=jnp.asarray(
+            enemy_hp if enemy_hp is not None else env._stats(env.e_types, 0), jnp.float32
+        ),
+        enemy_cd=jnp.zeros((len(env.e_types),), jnp.int32),
         t=jnp.asarray(0, jnp.int32),
     )
 
@@ -127,3 +130,98 @@ class TestMaskedTrainingE2E:
         state = init_state(jax.random.PRNGKey(0))
         state, metrics = train_chunk(state, 2)
         assert np.isfinite(np.asarray(metrics["loss"])).all()
+
+
+class TestUnitTypes:
+    """Mixed-unit scenarios: 2s3z/3s5z/MMM parsing, type bits, per-type
+    stats, and medivac heal semantics."""
+
+    def test_parse_mixed_scenarios(self):
+        env = parse_smaclite_name("smaclite:2s3z-v0")
+        assert env.a_types == ("stalker",) * 2 + ("zealot",) * 3
+        assert env.e_types == env.a_types
+        assert env.type_bits == 2
+        env = parse_smaclite_name("smaclite:3s5z_vs_3s6z-v0")
+        assert (env.n_allies, env.n_enemies) == (8, 9)
+        env = parse_smaclite_name("smaclite:MMM-v0")
+        assert env.a_types.count("medivac") == 1
+        assert env.a_types.count("marauder") == 2
+        assert env.a_types.count("marine") == 7
+        env2 = parse_smaclite_name("smaclite:MMM2-v0")
+        assert (env2.n_allies, env2.n_enemies) == (10, 12)
+
+    def test_homogeneous_has_no_type_bits(self):
+        env = parse_smaclite_name("smaclite:3m-v0")
+        assert env.type_bits == 0
+        # obs_dim unchanged from the marine-only layout
+        assert env.obs_dim == 4 + 3 * 5 + 2 * 4
+
+    def test_mixed_obs_dim_and_reset(self):
+        env = parse_smaclite_name("smaclite:2s3z-v0")
+        tb = env.type_bits
+        assert env.obs_dim == (4 + tb) + 5 * (5 + tb) + 4 * (4 + tb)
+        state, ts = env.reset(jax.random.PRNGKey(0))
+        assert ts.obs.shape == (5, env.obs_dim)
+        # per-type starting hp: stalkers 160, zealots 150
+        np.testing.assert_allclose(
+            np.asarray(state.ally_hp), [160.0, 160.0, 150.0, 150.0, 150.0]
+        )
+
+    def test_medivac_heals_ally(self):
+        env = SmacLiteCombat(
+            n_allies=2,
+            n_enemies=1,
+            ally_types=("medivac", "marine"),
+            enemy_types=("marine",),
+            rows=8,
+            cols=8,
+        )
+        # marine damaged, enemy far away; medivac adjacent
+        s = mk_state(
+            env, [[0, 0], [0, 1]], [[7, 7]], ally_hp=[150.0, 20.0]
+        )
+        mask = np.asarray(env.avail_actions(s))
+        # medivac (agent 0): heal slot for ally 1 (6+1) valid, self-heal invalid
+        assert mask[0, 7] == 1 and mask[0, 6] == 0
+        # marine (agent 1): enemy out of range -> attack slot 6 invalid
+        assert mask[1, 6] == 0
+        s2, ts = env.step(s, jnp.asarray([7, 1]), jax.random.PRNGKey(0))
+        np.testing.assert_allclose(float(s2.ally_hp[1]), 20.0 + 15.0)
+        # healing does not damage enemies or grant shaped reward
+        np.testing.assert_allclose(float(s2.enemy_hp[0]), 45.0)
+        np.testing.assert_allclose(float(ts.reward[0]), 0.0)
+
+    def test_heal_cannot_resurrect_or_overheal(self):
+        env = SmacLiteCombat(
+            n_allies=2,
+            n_enemies=1,
+            ally_types=("medivac", "marine"),
+            enemy_types=("marine",),
+            rows=8,
+            cols=8,
+        )
+        s = mk_state(env, [[0, 0], [0, 1]], [[7, 7]], ally_hp=[150.0, 0.0])
+        mask = np.asarray(env.avail_actions(s))
+        assert mask[0, 7] == 0  # dead ally not healable
+        s = mk_state(env, [[0, 0], [0, 1]], [[7, 7]], ally_hp=[150.0, 40.0])
+        s2, _ = env.step(s, jnp.asarray([7, 1]), jax.random.PRNGKey(0))
+        assert float(s2.ally_hp[1]) == 45.0  # capped at marine max hp
+
+    def test_mixed_scenario_trains_end_to_end(self):
+        from codebase_tpu.envs.vector import collect_episodes
+
+        env = make_env("smaclite:2s3z-v0", time_limit=12)
+
+        def policy(carry, obs, mask, key):
+            logits = jnp.where(mask > 0, 0.0, -jnp.inf)
+            return carry, jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+        rollout, _ = collect_episodes(env, policy, None, jax.random.PRNGKey(0), 8, 12)
+        assert rollout.obs.shape == (13, 8, 5, env.obs_dim)
+        # masked sampling only ever emits valid actions: no NOOP while alive
+        acts = np.asarray(rollout.actions)
+        filled = np.asarray(rollout.filled)
+        # rewards are identical across agents (team scalar broadcast)
+        rew = np.asarray(rollout.rewards)
+        assert np.allclose(rew.min(-1), rew.max(-1), atol=1e-6)
+        assert np.isfinite(np.asarray(rollout.episode_returns)).all()
