@@ -228,8 +228,30 @@ class StandardiseReward(WrapperBase):
         )
 
 
+@dataclass(frozen=True)
+class FlattenObservation(WrapperBase):
+    """Per-agent observation flattening (`utils/wrappers.py:48-72`).
+
+    Accepted for config compatibility with the reference's wrapper list;
+    every env in this framework already emits flat (N, D) observations, so
+    this is the identity."""
+
+    def reset(self, key):
+        return self.env.reset(key)
+
+    def step(self, state, actions, key):
+        return self.env.step(state, actions, key)
+
+    def reset_batch(self, key, n):
+        return self.env.reset_batch(key, n)
+
+    def step_batch(self, state, actions, key):
+        return self.env.step_batch(state, actions, key)
+
+
 NAMED_WRAPPERS = {
     "CooperativeReward": CooperativeReward,
     "ObserveID": ObserveID,
     "StandardiseReward": StandardiseReward,
+    "FlattenObservation": FlattenObservation,
 }
