@@ -278,7 +278,17 @@ def build_train_functions(
                 env.obs_dim,
                 env.n_actions,
                 with_mask=env.has_action_mask,
-                obs_dtype=jnp.dtype(str(acfg.get("replay_obs_dtype", "bfloat16"))),
+                # bf16 replay is lossless only for integer-valued obs (grid
+                # coords/levels/one-hots); envs with fractional features
+                # (e.g. SMAClite hp ratios) default to exact f32 storage
+                obs_dtype=jnp.dtype(
+                    str(
+                        acfg.get(
+                            "replay_obs_dtype",
+                            "bfloat16" if env.integer_valued_obs else "float32",
+                        )
+                    )
+                ),
             ),
             ret_rms=model.init_rms(),
             key=k_loop,

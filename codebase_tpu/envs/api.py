@@ -123,3 +123,16 @@ class Environment:
     def render_frame(self, state) -> "np.ndarray":  # noqa: F821
         """Host-side RGB rendering of a (single, unbatched) state."""
         raise NotImplementedError(f"{type(self).__name__} does not support rendering")
+
+    def inner_state(self, state):
+        """Unwrap a (possibly wrapper-nested) state down to the base env
+        state; identity for base envs, overridden by stateful wrappers."""
+        return state
+
+    @property
+    def integer_valued_obs(self) -> bool:
+        """True when every observation entry is a small integer (grid
+        coords, levels, one-hots) — exactly representable in bfloat16, so
+        low-precision replay storage is lossless. Default False (e.g.
+        SMAClite emits fractional hp features)."""
+        return False

@@ -48,8 +48,9 @@ from flax import struct
 from codebase_tpu.envs.api import Environment, TimeStep
 
 NONE, NORTH, SOUTH, WEST, EAST, LOAD = range(6)
-# row/col deltas indexed by action
-_DELTAS = np.array([[0, 0], [-1, 0], [1, 0], [0, -1], [0, 1], [0, 0]], dtype=np.int32)
+# movement deltas are computed branchlessly from action compares (a table
+# gather costs ~130us/step on TPU): dr = (a==SOUTH) - (a==NORTH),
+# dc = (a==EAST) - (a==WEST)
 
 
 @struct.dataclass
@@ -110,6 +111,10 @@ class LevelBasedForaging(Environment):
     @property
     def n_actions(self) -> int:
         return 6
+
+    @property
+    def integer_valued_obs(self) -> bool:
+        return True  # coords and levels only -> bf16-exact replay storage
 
     # ------------------------------------------------------------------ reset
 
@@ -215,7 +220,7 @@ class LevelBasedForaging(Environment):
                 (actions == EAST).astype(jnp.int32) - (actions == WEST).astype(jnp.int32),
             ],
             axis=-1,
-        )  # (N, 2) — branchless (gather-free) equivalent of _DELTAS[actions]
+        )  # (N, 2) — branchless (gather-free) action deltas
         raw_target = state.agent_pos + deltas
         in_bounds = (
             (raw_target[:, 0] >= 0)

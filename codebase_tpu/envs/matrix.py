@@ -51,6 +51,10 @@ class MatrixGame(Environment):
     def n_actions(self) -> int:
         return len(self.payoffs)
 
+    @property
+    def integer_valued_obs(self) -> bool:
+        return True  # constant observation
+
     def _obs(self):
         return jnp.ones((2, 1), jnp.float32)
 

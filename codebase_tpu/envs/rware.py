@@ -106,6 +106,10 @@ class RWARE(Environment):
         return 5
 
     @property
+    def integer_valued_obs(self) -> bool:
+        return True  # coords, flags, one-hots only -> bf16-exact replay
+
+    @property
     def obs_dim(self) -> int:
         w = 2 * self.sensor_range + 1
         return 8 + w * w * 5 + w * w * 2

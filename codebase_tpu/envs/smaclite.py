@@ -319,11 +319,14 @@ class SmacLiteCombat(Environment):
             .add(jnp.where(can_shoot, e_dmg, 0.0), mode="drop")
         )
 
-        # enemy healers: most-damaged living teammate within range
+        # enemy healers: most-damaged teammate within range. Targeting and
+        # the resurrect guard use POST-damage hp — a unit killed this step
+        # (kill bonus already granted) stays dead and cannot be healed.
+        e_alive_post = enemy_hp > 0  # (M,) after ally damage
         e_dist = jnp.max(
             jnp.abs(state.enemy_pos[:, None, :] - state.enemy_pos[None, :, :]), axis=-1
         )  # (M, M)
-        deficit = jnp.where(e_alive, e_maxhp - state.enemy_hp, -1.0)  # (M,)
+        deficit = jnp.where(e_alive_post, e_maxhp - enemy_hp, -1.0)  # (M,)
         healable = (
             (deficit[None, :] > 0)
             & (e_dist <= e_range[:, None])
@@ -340,7 +343,7 @@ class SmacLiteCombat(Environment):
         ally_hp = jnp.clip(state.ally_hp - dmg_to_ally + heal_to_ally, 0.0, a_maxhp)
         ally_hp = jnp.where(alive, ally_hp, 0.0)  # heals cannot resurrect
         enemy_hp = jnp.clip(enemy_hp + heal_to_enemy, 0.0, e_maxhp)
-        enemy_hp = jnp.where(e_alive, enemy_hp, 0.0)
+        enemy_hp = jnp.where(e_alive_post, enemy_hp, 0.0)
         acted = can_shoot | can_heal
         enemy_cd = jnp.where(acted, e_cds, jnp.maximum(state.enemy_cd - 1, 0))
 

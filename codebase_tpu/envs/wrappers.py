@@ -47,6 +47,12 @@ class WrapperBase(Environment):
         return self.env.has_action_mask
 
     @property
+    def integer_valued_obs(self):
+        # ObserveID prepends 0/1 one-hots and the reward wrappers leave obs
+        # untouched, so integrality is inherited from the base env
+        return self.env.integer_valued_obs
+
+    @property
     def base_env(self):
         env = self.env
         while isinstance(env, WrapperBase):
@@ -57,8 +63,11 @@ class WrapperBase(Environment):
         return self.base_env.render_frame(self.inner_state(state))
 
     def inner_state(self, state):
-        """Fully unwrap a wrapped state down to the base env state."""
-        return state
+        """Fully unwrap a wrapped state down to the base env state.
+
+        Default: this wrapper adds no state of its own, recurse unchanged.
+        Stateful wrappers strip their layer first (override)."""
+        return self.env.inner_state(state)
 
 
 # --------------------------------------------------------------------------
@@ -98,7 +107,7 @@ class TimeLimit(WrapperBase):
         return TimeLimitState(inner=s, t=t), ts.replace(truncated=truncated)
 
     def inner_state(self, state):
-        return self.env.inner_state(state.inner) if isinstance(self.env, WrapperBase) else state.inner
+        return self.env.inner_state(state.inner)
 
 
 @dataclass(frozen=True)
@@ -132,9 +141,6 @@ class ObserveID(WrapperBase):
         s, ts = self.env.step_batch(state, actions, key)
         return s, self._augment(ts)
 
-    def inner_state(self, state):
-        return self.env.inner_state(state) if isinstance(self.env, WrapperBase) else state
-
 
 @dataclass(frozen=True)
 class CooperativeReward(WrapperBase):
@@ -160,9 +166,6 @@ class CooperativeReward(WrapperBase):
     def step_batch(self, state, actions, key):
         s, ts = self.env.step_batch(state, actions, key)
         return s, self._team(ts)
-
-    def inner_state(self, state):
-        return self.env.inner_state(state) if isinstance(self.env, WrapperBase) else state
 
 
 @struct.dataclass
@@ -221,11 +224,7 @@ class StandardiseReward(WrapperBase):
         return self._update(state, s, ts)
 
     def inner_state(self, state):
-        return (
-            self.env.inner_state(state.inner)
-            if isinstance(self.env, WrapperBase)
-            else state.inner
-        )
+        return self.env.inner_state(state.inner)
 
 
 @dataclass(frozen=True)

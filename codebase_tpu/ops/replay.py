@@ -14,14 +14,14 @@ holds exactly one padded episode (the reference's `max_episode_length` slot,
 is `pos % S` (`dqn/train.py:86-89`).
 
 TPU storage notes (both trace-driven):
-- obs and action_mask are stored in `obs_dtype` (default bfloat16) and cast
-  back to float32 at sample time. Every shipped env emits small-integer
-  observations (grid coords, levels, one-hots), exactly representable in
-  bf16, so this is lossless here while halving the buffer's HBM footprint
-  and insert/gather traffic; it also stops XLA from materialising a
-  full-buffer f32->bf16 convert each iteration for the loss matmuls
-  (which round inputs to bf16 anyway). Envs with non-integer obs can set
-  `algorithm.replay_obs_dtype: float32`.
+- obs and action_mask are stored in `obs_dtype` and cast back to float32 at
+  sample time. The DQN builder picks bfloat16 when the env declares
+  `integer_valued_obs` (grid coords, levels, one-hots — exactly
+  representable in bf16, so storage is lossless) and float32 otherwise
+  (e.g. SMAClite's fractional hp features); `algorithm.replay_obs_dtype`
+  overrides. bf16 halves the buffer's HBM footprint and insert/gather
+  traffic and stops XLA from materialising a full-buffer f32->bf16 convert
+  each iteration for the loss matmuls (which round inputs to bf16 anyway).
 - the mask array is only allocated for envs that actually mask
   (`with_mask`); otherwise the field is None and sampling returns None.
 """

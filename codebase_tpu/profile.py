@@ -63,8 +63,12 @@ def main(argv=None):
 
     report = {"algorithm": cfg.algorithm.name, "env": str(cfg.env.name)}
 
-    log.info("Analyzing compiled train chunk (%d iters/chunk)...", chunk_iters)
-    costs = profiling.cost_analysis(lambda s: train_chunk(s, chunk_iters)[0], state)
+    log.info("Compiling + analyzing train chunk (%d iters/chunk)...", chunk_iters)
+    # ONE compile serves the analysis AND the timed runs (large fused train
+    # chunks can take minutes per compile)
+    chunk, costs, mem = profiling.compile_and_analyze(
+        lambda s: train_chunk(s, chunk_iters)[0], state
+    )
     if costs:
         flops = costs.get("flops")
         if flops:
@@ -72,11 +76,10 @@ def main(argv=None):
         ba = costs.get("bytes accessed")
         if ba:
             report["chunk_bytes_accessed"] = float(ba)
-    mem = profiling.compiled_memory_analysis(lambda s: train_chunk(s, chunk_iters)[0], state)
     report.update({f"static_{k}": v for k, v in mem.items()})
 
-    # compile + warm up outside the timed region
-    state, _ = train_chunk(state, chunk_iters)
+    # warm up outside the timed region
+    state = chunk(state)
     s0 = int(state.env_steps)
     u0 = int(state.updates)
 
@@ -87,7 +90,7 @@ def main(argv=None):
     with ctx:
         for _ in range(chunks):
             with profiling.annotate("train_chunk"):
-                state, _ = train_chunk(state, chunk_iters)
+                state = chunk(state)
         steps = int(state.env_steps)  # device sync
     dt = time.time() - t0
     timer.mark(steps)

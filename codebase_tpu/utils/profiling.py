@@ -38,11 +38,16 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
-def cost_analysis(fn, *args, static_argnums=()) -> Dict[str, float]:
-    """Compile `fn(*args)` and return XLA's cost analysis for one call:
-    `flops`, `bytes accessed`, and backend-specific keys. Returns {} when
-    the backend reports nothing (some CPU builds)."""
+def compile_and_analyze(fn, *args, static_argnums=()):
+    """Compile `fn(*args)` ONCE and return (compiled executable, cost dict,
+    static-memory dict). The executable is callable with the same argument
+    structure — reuse it instead of re-jitting (a large fused train step can
+    take minutes per compile)."""
     compiled = jax.jit(fn, static_argnums=static_argnums).lower(*args).compile()
+    return compiled, _costs_of(compiled), _memory_of(compiled)
+
+
+def _costs_of(compiled) -> Dict[str, float]:
     costs = compiled.cost_analysis()
     if not costs:
         return {}
@@ -51,9 +56,7 @@ def cost_analysis(fn, *args, static_argnums=()) -> Dict[str, float]:
     return dict(costs)
 
 
-def compiled_memory_analysis(fn, *args, static_argnums=()) -> Dict[str, int]:
-    """Static memory footprint of the compiled executable (bytes)."""
-    compiled = jax.jit(fn, static_argnums=static_argnums).lower(*args).compile()
+def _memory_of(compiled) -> Dict[str, int]:
     try:
         mem = compiled.memory_analysis()
     except Exception:
@@ -72,6 +75,20 @@ def compiled_memory_analysis(fn, *args, static_argnums=()) -> Dict[str, int]:
         if v is not None:
             out[k] = int(v)
     return out
+
+
+def cost_analysis(fn, *args, static_argnums=()) -> Dict[str, float]:
+    """Compile `fn(*args)` and return XLA's cost analysis for one call:
+    `flops`, `bytes accessed`, and backend-specific keys. Returns {} when
+    the backend reports nothing (some CPU builds)."""
+    compiled = jax.jit(fn, static_argnums=static_argnums).lower(*args).compile()
+    return _costs_of(compiled)
+
+
+def compiled_memory_analysis(fn, *args, static_argnums=()) -> Dict[str, int]:
+    """Static memory footprint of the compiled executable (bytes)."""
+    compiled = jax.jit(fn, static_argnums=static_argnums).lower(*args).compile()
+    return _memory_of(compiled)
 
 
 def device_memory_stats() -> Dict[str, Dict[str, Any]]:

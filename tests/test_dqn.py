@@ -205,3 +205,30 @@ class TestEndToEnd:
         state, metrics = train_chunk(state, 3)
         assert int(state.env_steps) > 0
         assert metrics["episode_returns"].shape == (3, 8, 2)
+
+
+class TestReplayDtype:
+    def test_bf16_default_for_integer_obs_envs(self):
+        from codebase_tpu.algos.dqn import build_train_functions
+        import jax.numpy as jnp
+
+        env = make_env("Foraging-8x8-2p-3f-v3", time_limit=6)
+        cfg = make_cfg()
+        cfg.algorithm.parallel_envs = 2
+        _, init_state, _, _ = build_train_functions(env, env, cfg.algorithm, 6)
+        st = init_state(jax.random.PRNGKey(0))
+        assert st.buffer.obs.dtype == jnp.bfloat16
+        assert st.buffer.action_mask is None  # maskless env
+
+    def test_f32_default_for_fractional_obs_envs(self):
+        from codebase_tpu.algos.dqn import build_train_functions
+        import jax.numpy as jnp
+
+        env = make_env("smaclite:2m-v0", time_limit=6)
+        cfg = make_cfg()
+        cfg.algorithm.parallel_envs = 2
+        _, init_state, _, _ = build_train_functions(env, env, cfg.algorithm, 6)
+        st = init_state(jax.random.PRNGKey(0))
+        assert st.buffer.obs.dtype == jnp.float32  # hp fractions not bf16-exact
+        assert st.buffer.action_mask is not None
+        assert st.buffer.action_mask.dtype == jnp.float32

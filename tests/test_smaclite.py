@@ -225,3 +225,32 @@ class TestUnitTypes:
         rew = np.asarray(rollout.rewards)
         assert np.allclose(rew.min(-1), rew.max(-1), atol=1e-6)
         assert np.isfinite(np.asarray(rollout.episode_returns)).all()
+
+    def test_killed_enemy_cannot_be_healed_same_step(self):
+        """A unit killed this step (kill bonus granted) stays dead even with
+        an adjacent ready enemy medivac (post-damage heal targeting)."""
+        env = SmacLiteCombat(
+            n_allies=1,
+            n_enemies=2,
+            ally_types=("marine",),
+            enemy_types=("marine", "medivac"),
+            rows=8,
+            cols=8,
+        )
+        # enemy marine at 6hp next to its medivac; ally in range to kill it
+        s = mk_state(env, [[0, 0]], [[0, 2], [0, 3]], enemy_hp=[6.0, 150.0])
+        s2, ts = env.step(s, jnp.asarray([6]), jax.random.PRNGKey(0))
+        assert float(s2.enemy_hp[0]) == 0.0  # dead, not resurrected
+        # kill bonus granted exactly once
+        expected = (6.0 + env.kill_bonus) / env.max_reward
+        np.testing.assert_allclose(float(ts.reward[0]), expected, rtol=1e-5)
+
+    def test_render_through_wrapper_stack(self):
+        """render_frame unwraps stateless + stateful wrapper layers
+        (recursive inner_state)."""
+        env = make_env(
+            "smaclite:2s3z-v0", time_limit=10, wrappers=["FlattenObservation"]
+        )
+        state, _ = env.reset(jax.random.PRNGKey(0))
+        frame = env.render_frame(state)
+        assert frame.ndim == 3 and frame.shape[-1] == 3
