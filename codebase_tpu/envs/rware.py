@@ -72,6 +72,22 @@ class RWAREState:
     t: jnp.ndarray  # () int32
 
 
+@struct.dataclass
+class RWAREBatchState:
+    """E env instances, struct-of-arrays with the env axis LAST (full TPU
+    lane utilisation — see `Environment.reset_batch` / `LBFBatchState`)."""
+
+    agent_r: jnp.ndarray  # (N, E) int32
+    agent_c: jnp.ndarray  # (N, E) int32
+    agent_dir: jnp.ndarray  # (N, E) int32
+    carrying: jnp.ndarray  # (N, E) int32, -1 if none
+    shelf_r: jnp.ndarray  # (S, E) int32
+    shelf_c: jnp.ndarray  # (S, E) int32
+    shelf_carried: jnp.ndarray  # (S, E) bool
+    requested: jnp.ndarray  # (S, E) bool
+    t: jnp.ndarray  # (E,) int32
+
+
 @dataclass(frozen=True)
 class RWARE(Environment):
     shelf_rows: int = 1
@@ -135,6 +151,19 @@ class RWARE(Environment):
     # --------------------------------------------------------------- reset
 
     def reset(self, key):
+        state = self._reset_state(key)
+        zeros = jnp.zeros((self.num_agents,), jnp.float32)
+        ts = TimeStep(
+            obs=self._make_obs(state),
+            reward=zeros,
+            stat_reward=zeros,
+            terminated=jnp.asarray(False),
+            truncated=jnp.asarray(False),
+            action_mask=self.full_ones_mask(),
+        )
+        return state, ts
+
+    def _reset_state(self, key) -> RWAREState:
         k_pos, k_dir, k_req = jax.random.split(key, 3)
         N, S = self.num_agents, self.n_shelves
         R, C = self.rows, self.cols
@@ -148,7 +177,7 @@ class RWARE(Environment):
         req_idx = jax.random.choice(k_req, S, (self.request_queue_size,), replace=False)
         requested = jnp.zeros((S,), bool).at[req_idx].set(True)
 
-        state = RWAREState(
+        return RWAREState(
             agent_pos=agent_pos,
             agent_dir=agent_dir,
             carrying=jnp.full((N,), -1, jnp.int32),
@@ -157,16 +186,266 @@ class RWARE(Environment):
             requested=requested,
             t=jnp.asarray(0, jnp.int32),
         )
-        zeros = jnp.zeros((N,), jnp.float32)
+
+    # ------------------------------------------------------- batched (E-last)
+
+    @staticmethod
+    def to_batch(states: RWAREState) -> RWAREBatchState:
+        """Convert vmapped scalar states (leading E axis) to E-last SoA."""
+        return RWAREBatchState(
+            agent_r=states.agent_pos[..., 0].T,
+            agent_c=states.agent_pos[..., 1].T,
+            agent_dir=states.agent_dir.T,
+            carrying=states.carrying.T,
+            shelf_r=states.shelf_loc[..., 0].T,
+            shelf_c=states.shelf_loc[..., 1].T,
+            shelf_carried=states.shelf_carried.T,
+            requested=states.requested.T,
+            t=states.t,
+        )
+
+    @staticmethod
+    def from_batch(state: RWAREBatchState) -> RWAREState:
+        return RWAREState(
+            agent_pos=jnp.stack([state.agent_r.T, state.agent_c.T], axis=-1),
+            agent_dir=state.agent_dir.T,
+            carrying=state.carrying.T,
+            shelf_loc=jnp.stack([state.shelf_r.T, state.shelf_c.T], axis=-1),
+            shelf_carried=state.shelf_carried.T,
+            requested=state.requested.T,
+            t=state.t,
+        )
+
+    def _is_storage(self, r, c):
+        """Branchless storage-cell membership — closed form of
+        `_storage_grid` (validated against it in tests): block rows repeat
+        with period column_height+1 starting at row 1; within each 3-column
+        period, columns 1 and 2 are storage."""
+        H = self.column_height
+        row_ok = (r >= 1) & ((r - 1) % (H + 1) < H) & (r <= self.shelf_rows * (H + 1) - 1)
+        return row_ok & (c % 3 != 0)
+
+    def reset_batch(self, key, n: int):
+        """Spawn logic stays vmapped (once per rollout); observations use
+        the lane-efficient batched path."""
+        states = jax.vmap(self._reset_state)(jax.random.split(key, n))
+        bstate = self.to_batch(states)
+        zeros = jnp.zeros((n, self.num_agents), jnp.float32)
         ts = TimeStep(
-            obs=self._make_obs(state),
+            obs=self._make_obs_batch(bstate),
             reward=zeros,
             stat_reward=zeros,
-            terminated=jnp.asarray(False),
-            truncated=jnp.asarray(False),
-            action_mask=self.full_ones_mask(),
+            terminated=jnp.zeros((n,), bool),
+            truncated=jnp.zeros((n,), bool),
+            action_mask=jnp.broadcast_to(
+                self.full_ones_mask(), (n, self.num_agents, self.n_actions)
+            ),
         )
-        return state, ts
+        return bstate, ts
+
+    def step_batch(self, state: RWAREBatchState, actions, key):
+        """E-last batched transition, exactly `vmap(self.step)` with the
+        harness's `split(key, E)` key stream (pinned by tests)."""
+        N, S = self.num_agents, self.n_shelves
+        R, C = self.rows, self.cols
+        a = jnp.asarray(actions, jnp.int32).T  # (N, E)
+        E = a.shape[1]
+        sidx = jax.lax.broadcasted_iota(jnp.int32, (S, E), 0)
+
+        # --- rotations (branchless permutation of 4 directions)
+        d = state.agent_dir
+        left = 2 * (d == 0) + 3 * (d == 1) + 1 * (d == 2)  # _LEFT_OF
+        right = 3 * (d == 0) + 2 * (d == 1) + 1 * (d == 3)  # _RIGHT_OF
+        agent_dir = jnp.where(a == LEFT, left, jnp.where(a == RIGHT, right, d)).astype(jnp.int32)
+
+        # --- forward movement
+        dr = (agent_dir == 1).astype(jnp.int32) - (agent_dir == 0).astype(jnp.int32)
+        dc = (agent_dir == 3).astype(jnp.int32) - (agent_dir == 2).astype(jnp.int32)
+        tr, tc = state.agent_r + dr, state.agent_c + dc
+        in_bounds = (tr >= 0) & (tr < R) & (tc >= 0) & (tc < C)
+        trc = jnp.clip(tr, 0, R - 1)
+        tcc = jnp.clip(tc, 0, C - 1)
+        loaded = state.carrying >= 0  # (N, E)
+        stored = ~state.shelf_carried  # (S, E) shelf sits on the floor
+        onto_shelf = jnp.any(
+            (trc[:, None, :] == state.shelf_r[None])
+            & (tcc[:, None, :] == state.shelf_c[None])
+            & stored[None],
+            axis=1,
+        )  # (N, E)
+        valid = in_bounds & (~loaded | ~onto_shelf)
+        move = (a == FORWARD) & valid
+        tgt_r = jnp.where(move, trc, state.agent_r)
+        tgt_c = jnp.where(move, tcc, state.agent_c)
+        tcell = tgt_r * C + tgt_c  # (N, E)
+
+        # contention: among movers with the same target, lowest index wins
+        nidx = jax.lax.broadcasted_iota(jnp.int32, (N, N, E), 1)
+        midx = jax.lax.broadcasted_iota(jnp.int32, (N, N, E), 0)
+        same = tcell[None, :, :] == tcell[:, None, :]  # (i, j, E)
+        earlier_mover = same & move[None, :, :] & (nidx < midx)
+        move = move & ~jnp.any(earlier_mover, axis=1)
+
+        # fixed point: movers blocked by (now-)stationary agents stop too
+        pcell = state.agent_r * C + state.agent_c
+
+        def fix(_, move):
+            stay_cells = jnp.where(move, -1, pcell)  # (N, E)
+            blocked = jnp.any(tcell[:, None, :] == stay_cells[None, :, :], axis=1)
+            return move & ~blocked
+
+        move = jax.lax.fori_loop(0, N, fix, move)
+        new_r = jnp.where(move, tgt_r, state.agent_r)
+        new_c = jnp.where(move, tgt_c, state.agent_c)
+
+        # --- toggle load/unload
+        toggling = a == TOGGLE_LOAD
+        match = (
+            (new_r[:, None, :] == state.shelf_r[None])
+            & (new_c[:, None, :] == state.shelf_c[None])
+            & stored[None]
+        )  # (N, S, E)
+        under = jnp.max(jnp.where(match, sidx[None], -1), axis=1)  # (N, E)
+        pickup = toggling & ~loaded & (under >= 0)
+        same_shelf = (
+            (under[None, :, :] == under[:, None, :]) & pickup[None, :, :] & (nidx < midx)
+        )
+        pickup = pickup & ~jnp.any(same_shelf, axis=1)
+
+        on_storage = self._is_storage(new_r, new_c)
+        putdown = toggling & loaded & on_storage & (under < 0)
+
+        carrying = jnp.where(pickup, under, state.carrying)
+        carrying = jnp.where(putdown, -1, carrying)
+
+        picked = jnp.any(
+            pickup[:, None, :] & (under[:, None, :] == sidx[None]), axis=0
+        )  # (S, E)
+        released = jnp.any(
+            putdown[:, None, :] & (state.carrying[:, None, :] == sidx[None]), axis=0
+        )  # (S, E)
+        shelf_carried = (state.shelf_carried | picked) & ~released
+
+        # shelves released land at the agent's cell; carried shelves track
+        # their carrier (a shelf is updated by at most one agent this step)
+        upd = (putdown[:, None, :] & (state.carrying[:, None, :] == sidx[None])) | (
+            (carrying[:, None, :] == sidx[None]) & (carrying[:, None, :] >= 0)
+        )  # (N, S, E)
+        any_upd = jnp.any(upd, axis=0)
+        shelf_r = jnp.where(any_upd, jnp.sum(upd * new_r[:, None, :], axis=0), state.shelf_r)
+        shelf_c = jnp.where(any_upd, jnp.sum(upd * new_c[:, None, :], axis=0), state.shelf_c)
+
+        # --- deliveries: carried + requested + on a goal cell
+        goals = self._goal_cells()
+        on_goal = jnp.zeros_like(move)
+        for g in goals:
+            on_goal = on_goal | ((new_r == int(g[0])) & (new_c == int(g[1])))
+        carried_requested = jnp.any(
+            (carrying[:, None, :] == sidx[None]) & state.requested[None], axis=1
+        )  # (N, E)
+        delivered = on_goal & carried_requested
+
+        if self.individual_reward:
+            reward = delivered.astype(jnp.float32)  # (N, E)
+        else:
+            reward = jnp.broadcast_to(
+                jnp.sum(delivered, axis=0, keepdims=True).astype(jnp.float32), (N, E)
+            )
+
+        # retire fulfilled requests, then sample replacements (same per-env
+        # key stream as the vmapped scalar path: split(key, E), then the
+        # scalar fori's split/categorical per agent)
+        retire = jnp.any(
+            delivered[:, None, :] & (carrying[:, None, :] == sidx[None]), axis=0
+        )
+        requested = state.requested & ~retire
+        keys = jax.random.split(key, E)  # (E, 2)
+        for i in range(N):
+            kk = jax.vmap(lambda k: jax.random.split(k, 2))(keys)  # (E, 2, 2)
+            keys, k2 = kk[:, 0], kk[:, 1]
+            logits = jnp.where(requested, -jnp.inf, 0.0)  # (S, E)
+            g = jax.vmap(lambda k: jax.random.gumbel(k, (S,)))(k2)  # (E, S)
+            new_req = jnp.argmax(logits + g.T, axis=0).astype(jnp.int32)  # (E,)
+            requested = requested | (
+                (sidx == new_req[None, :]) & delivered[i][None, :]
+            )
+
+        t = state.t + 1
+        new_state = RWAREBatchState(
+            agent_r=new_r,
+            agent_c=new_c,
+            agent_dir=agent_dir,
+            carrying=carrying,
+            shelf_r=shelf_r,
+            shelf_c=shelf_c,
+            shelf_carried=shelf_carried,
+            requested=requested,
+            t=t,
+        )
+        ts = TimeStep(
+            obs=self._make_obs_batch(new_state),
+            reward=reward.T,
+            stat_reward=reward.T,
+            terminated=t >= self.max_steps,
+            truncated=jnp.zeros((E,), bool),
+            action_mask=jnp.broadcast_to(
+                self.full_ones_mask(), (E, N, self.n_actions)
+            ),
+        )
+        return new_state, ts
+
+    def _make_obs_batch(self, state: RWAREBatchState):
+        """(E, N, D) observations, E-last. Window reads become per-offset
+        match reductions over agents/shelves (no grids, no gathers)."""
+        N, S = self.num_agents, self.n_shelves
+        sr = self.sensor_range
+        w = 2 * sr + 1
+        E = state.agent_r.shape[1]
+
+        self_feats = jnp.stack(
+            [
+                state.agent_r.astype(jnp.float32),
+                state.agent_c.astype(jnp.float32),
+                (state.carrying >= 0).astype(jnp.float32),
+                (state.agent_dir == 0).astype(jnp.float32),
+                (state.agent_dir == 1).astype(jnp.float32),
+                (state.agent_dir == 2).astype(jnp.float32),
+                (state.agent_dir == 3).astype(jnp.float32),
+                (~self._is_storage(state.agent_r, state.agent_c)).astype(jnp.float32),
+            ],
+            axis=1,
+        )  # (N, 8, E)
+
+        cell_blocks, shelf_blocks = [], []
+        for dy in range(-sr, sr + 1):
+            for dx in range(-sr, sr + 1):
+                cr = state.agent_r + dy  # (N, E)
+                cc = state.agent_c + dx
+                # agent in this cell (over ALL agents, incl self at offset 0)
+                am = (cr[:, None, :] == state.agent_r[None]) & (
+                    cc[:, None, :] == state.agent_c[None]
+                )  # (N, N', E)
+                has_agent = jnp.any(am, axis=1)
+                donehot = [
+                    jnp.sum(am & (state.agent_dir[None] == k), axis=1) for k in range(4)
+                ]
+                cell_blocks.append(
+                    jnp.stack([has_agent] + donehot, axis=1).astype(jnp.float32)
+                )  # (N, 5, E)
+                # shelf in this cell (carried shelves ride their carrier)
+                sm = (cr[:, None, :] == state.shelf_r[None]) & (
+                    cc[:, None, :] == state.shelf_c[None]
+                )  # (N, S, E)
+                has_shelf = jnp.any(sm, axis=1)
+                req_here = jnp.any(sm & state.requested[None], axis=1)
+                shelf_blocks.append(
+                    jnp.stack([has_shelf, req_here], axis=1).astype(jnp.float32)
+                )  # (N, 2, E)
+
+        obs = jnp.concatenate(
+            [self_feats] + cell_blocks + shelf_blocks, axis=1
+        )  # (N, D, E)
+        return jnp.transpose(obs, (2, 0, 1))  # (E, N, D)
 
     # ---------------------------------------------------------------- step
 

@@ -171,3 +171,60 @@ def test_collect_episodes_batched_equals_legacy_vmap_path():
         np.testing.assert_array_equal(
             np.asarray(getattr(r1, name)), np.asarray(getattr(r2, name)), err_msg=name
         )
+
+
+class TestRWAREBatched:
+    """RWARE env-axis-last fast path == vmapped scalar path."""
+
+    def test_storage_formula_matches_grid(self):
+        from codebase_tpu.envs.rware import RWARE
+
+        for kw in ({}, dict(shelf_rows=2, shelf_columns=5), dict(shelf_rows=3, shelf_columns=5)):
+            env = RWARE(**kw)
+            grid = np.asarray(env._storage_grid())
+            rr = jnp.arange(env.rows)[:, None]
+            cc = jnp.arange(env.cols)[None, :]
+            formula = np.asarray(env._is_storage(rr, cc))
+            np.testing.assert_array_equal(grid, formula)
+
+    @pytest.mark.parametrize("name", ["rware:rware-tiny-2ag-v2", "rware:rware-small-4ag-v2"])
+    def test_step_batch_matches_vmapped_scalar(self, name):
+        from codebase_tpu.envs.factory import make_base_env
+
+        base = make_base_env(name)
+        EE = 32
+        k_reset, k_act = jax.random.split(jax.random.PRNGKey(11))
+        states, ts_s = jax.vmap(base.reset)(jax.random.split(k_reset, EE))
+        bstates = base.to_batch(states)
+        np.testing.assert_array_equal(
+            np.asarray(jax.vmap(base._make_obs)(states)),
+            np.asarray(base._make_obs_batch(bstates)),
+        )
+        acts = jax.random.randint(k_act, (10, EE, base.n_agents), 0, base.n_actions)
+        vstep = jax.jit(jax.vmap(base.step, in_axes=(0, 0, 0)))
+        bstep = jax.jit(base.step_batch)
+        for i in range(10):
+            step_key = jax.random.PRNGKey(2000 + i)
+            keys = jax.random.split(step_key, EE)  # the harness's key stream
+            states, ts_s = vstep(states, acts[i], keys)
+            bstates, ts_b = bstep(bstates, acts[i], step_key)
+            np.testing.assert_array_equal(np.asarray(ts_s.obs), np.asarray(ts_b.obs), err_msg=f"obs step {i}")
+            np.testing.assert_array_equal(np.asarray(ts_s.reward), np.asarray(ts_b.reward))
+            rt = base.from_batch(bstates)
+            for f in ("agent_pos", "agent_dir", "carrying", "shelf_loc", "shelf_carried", "requested"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(states, f)), np.asarray(getattr(rt, f)), err_msg=f"{f} step {i}"
+                )
+
+    def test_rware_rollout_through_harness(self):
+        env = make_env("rware:rware-tiny-2ag-v2", time_limit=20)
+
+        def policy(carry, obs, mask, key):
+            a = jax.random.randint(key, (obs.shape[0], env.n_agents), 0, env.n_actions)
+            return carry, a
+
+        rollout = jax.jit(lambda k: collect_episodes(env, policy, None, k, 16, 20)[0])(
+            jax.random.PRNGKey(3)
+        )
+        assert rollout.obs.shape == (21, 16, 2, env.obs_dim)
+        assert np.isfinite(np.asarray(rollout.episode_returns)).all()
