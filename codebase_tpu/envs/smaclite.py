@@ -73,6 +73,22 @@ class CombatState:
     t: jnp.ndarray  # () int32
 
 
+@struct.dataclass
+class CombatBatchState:
+    """E env instances, struct-of-arrays with the env axis LAST (full TPU
+    lane utilisation — see `Environment.reset_batch` / `LBFBatchState`)."""
+
+    ally_r: jnp.ndarray  # (N, E) int32
+    ally_c: jnp.ndarray  # (N, E) int32
+    ally_hp: jnp.ndarray  # (N, E) float32
+    ally_cd: jnp.ndarray  # (N, E) int32
+    enemy_r: jnp.ndarray  # (M, E) int32
+    enemy_c: jnp.ndarray  # (M, E) int32
+    enemy_hp: jnp.ndarray  # (M, E) float32
+    enemy_cd: jnp.ndarray  # (M, E) int32
+    t: jnp.ndarray  # (E,) int32
+
+
 @dataclass(frozen=True)
 class SmacLiteCombat(Environment):
     n_allies: int = 5
@@ -170,25 +186,8 @@ class SmacLiteCombat(Environment):
     # ----------------------------------------------------------------- reset
 
     def reset(self, key):
-        k_a, k_e = jax.random.split(key)
-        N, M = self.n_agents, self._n_e
-        # allies spawn on the left quarter, enemies on the right quarter
-        ar = jax.random.randint(k_a, (N,), 0, self.rows)
-        ac = jax.random.randint(jax.random.fold_in(k_a, 1), (N,), 0, self.cols // 4)
-        er = jax.random.randint(k_e, (M,), 0, self.rows)
-        ec = jax.random.randint(
-            jax.random.fold_in(k_e, 1), (M,), 3 * self.cols // 4, self.cols
-        )
-        state = CombatState(
-            ally_pos=jnp.stack([ar, ac], -1).astype(jnp.int32),
-            ally_hp=jnp.asarray(self._stats(self.a_types, 0), jnp.float32),
-            ally_cd=jnp.zeros((N,), jnp.int32),
-            enemy_pos=jnp.stack([er, ec], -1).astype(jnp.int32),
-            enemy_hp=jnp.asarray(self._stats(self.e_types, 0), jnp.float32),
-            enemy_cd=jnp.zeros((M,), jnp.int32),
-            t=jnp.asarray(0, jnp.int32),
-        )
-        zeros = jnp.zeros((N,), jnp.float32)
+        state = self._reset_state(key)
+        zeros = jnp.zeros((self.n_agents,), jnp.float32)
         ts = TimeStep(
             obs=self._make_obs(state),
             reward=zeros,
@@ -198,6 +197,345 @@ class SmacLiteCombat(Environment):
             action_mask=self.avail_actions(state),
         )
         return state, ts
+
+    def _reset_state(self, key) -> CombatState:
+        k_a, k_e = jax.random.split(key)
+        N, M = self.n_agents, self._n_e
+        # allies spawn on the left quarter, enemies on the right quarter
+        ar = jax.random.randint(k_a, (N,), 0, self.rows)
+        ac = jax.random.randint(jax.random.fold_in(k_a, 1), (N,), 0, self.cols // 4)
+        er = jax.random.randint(k_e, (M,), 0, self.rows)
+        ec = jax.random.randint(
+            jax.random.fold_in(k_e, 1), (M,), 3 * self.cols // 4, self.cols
+        )
+        return CombatState(
+            ally_pos=jnp.stack([ar, ac], -1).astype(jnp.int32),
+            ally_hp=jnp.asarray(self._stats(self.a_types, 0), jnp.float32),
+            ally_cd=jnp.zeros((N,), jnp.int32),
+            enemy_pos=jnp.stack([er, ec], -1).astype(jnp.int32),
+            enemy_hp=jnp.asarray(self._stats(self.e_types, 0), jnp.float32),
+            enemy_cd=jnp.zeros((M,), jnp.int32),
+            t=jnp.asarray(0, jnp.int32),
+        )
+
+    # ------------------------------------------------------- batched (E-last)
+
+    @staticmethod
+    def to_batch(states: CombatState) -> CombatBatchState:
+        """Convert vmapped scalar states (leading E axis) to E-last SoA."""
+        return CombatBatchState(
+            ally_r=states.ally_pos[..., 0].T,
+            ally_c=states.ally_pos[..., 1].T,
+            ally_hp=states.ally_hp.T,
+            ally_cd=states.ally_cd.T,
+            enemy_r=states.enemy_pos[..., 0].T,
+            enemy_c=states.enemy_pos[..., 1].T,
+            enemy_hp=states.enemy_hp.T,
+            enemy_cd=states.enemy_cd.T,
+            t=states.t,
+        )
+
+    @staticmethod
+    def from_batch(state: CombatBatchState) -> CombatState:
+        return CombatState(
+            ally_pos=jnp.stack([state.ally_r.T, state.ally_c.T], axis=-1),
+            ally_hp=state.ally_hp.T,
+            ally_cd=state.ally_cd.T,
+            enemy_pos=jnp.stack([state.enemy_r.T, state.enemy_c.T], axis=-1),
+            enemy_hp=state.enemy_hp.T,
+            enemy_cd=state.enemy_cd.T,
+            t=state.t,
+        )
+
+    def reset_batch(self, key, n: int):
+        states = jax.vmap(self._reset_state)(jax.random.split(key, n))
+        bstate = self.to_batch(states)
+        zeros = jnp.zeros((n, self.n_agents), jnp.float32)
+        ts = TimeStep(
+            obs=self._make_obs_batch(bstate),
+            reward=zeros,
+            stat_reward=zeros,
+            terminated=jnp.zeros((n,), bool),
+            truncated=jnp.zeros((n,), bool),
+            action_mask=self._avail_actions_batch(bstate),
+        )
+        return bstate, ts
+
+    def _avail_actions_batch(self, state: CombatBatchState):
+        """(E, N, A) masks, E-last compute — same rules as `avail_actions`."""
+        N, M = self.n_agents, self._n_e
+        E = state.ally_r.shape[1]
+        alive = state.ally_hp > 0  # (N, E)
+        e_alive = state.enemy_hp > 0  # (M, E)
+        a_range = jnp.asarray(self._stats(self.a_types, 2), jnp.int32)[:, None]
+        healer = jnp.asarray(self._stats(self.a_types, 4).astype(bool))[:, None]
+        a_maxhp = jnp.asarray(self._stats(self.a_types, 0), jnp.float32)[:, None]
+
+        move_ok = jnp.stack(
+            [
+                state.ally_r - 1 >= 0,  # N
+                state.ally_r + 1 < self.rows,  # S
+                state.ally_c - 1 >= 0,  # W
+                state.ally_c + 1 < self.cols,  # E
+            ],
+            axis=1,
+        )  # (N, 4, E)
+
+        n_targets = self.n_actions - 6
+        dist_e = jnp.maximum(
+            jnp.abs(state.ally_r[:, None, :] - state.enemy_r[None]),
+            jnp.abs(state.ally_c[:, None, :] - state.enemy_c[None]),
+        )  # (N, M, E)
+        attack_ok = e_alive[None] & (dist_e <= a_range[:, None, :])  # (N, M, E)
+        attack_ok = jnp.pad(attack_ok, ((0, 0), (0, n_targets - M), (0, 0)))
+
+        if self._has_medivac:
+            dist_a = jnp.maximum(
+                jnp.abs(state.ally_r[:, None, :] - state.ally_r[None]),
+                jnp.abs(state.ally_c[:, None, :] - state.ally_c[None]),
+            )  # (N, N, E)
+            damaged = alive & (state.ally_hp < a_maxhp)  # (N, E)
+            not_self = ~jnp.eye(N, dtype=bool)[:, :, None]
+            heal_ok = damaged[None] & (dist_a <= a_range[:, None, :]) & not_self
+            heal_ok = jnp.pad(heal_ok, ((0, 0), (0, n_targets - N), (0, 0)))
+            attack_ok = jnp.where(healer[:, None, :], heal_ok, attack_ok)
+
+        mask = jnp.concatenate(
+            [
+                (~alive)[:, None, :],  # noop only when dead
+                alive[:, None, :],  # stop
+                move_ok & alive[:, None, :],
+                attack_ok & alive[:, None, :],
+            ],
+            axis=1,
+        ).astype(jnp.float32)  # (N, A, E)
+        return jnp.transpose(mask, (2, 0, 1))  # (E, N, A)
+
+    def step_batch(self, state: CombatBatchState, actions, key):
+        """E-last batched transition — exactly `vmap(self.step)` semantics
+        (pinned in tests/test_batched_env.py)."""
+        del key  # scalar step ignores its key too
+        N, M = self.n_agents, self._n_e
+        a = jnp.asarray(actions, jnp.int32).T  # (N, E)
+        E = a.shape[1]
+        alive = state.ally_hp > 0
+        e_alive = state.enemy_hp > 0
+        a_dmg = jnp.asarray(self._stats(self.a_types, 1), jnp.float32)[:, None]
+        a_cds = jnp.asarray(self._stats(self.a_types, 3), jnp.int32)[:, None]
+        a_maxhp = jnp.asarray(self._stats(self.a_types, 0), jnp.float32)[:, None]
+        healer = jnp.asarray(self._stats(self.a_types, 4).astype(bool))[:, None]
+        e_dmg = jnp.asarray(self._stats(self.e_types, 1), jnp.float32)[:, None]
+        e_range = jnp.asarray(self._stats(self.e_types, 2), jnp.int32)[:, None]
+        e_cds = jnp.asarray(self._stats(self.e_types, 3), jnp.int32)[:, None]
+        e_maxhp = jnp.asarray(self._stats(self.e_types, 0), jnp.float32)[:, None]
+        e_healer = jnp.asarray(self._stats(self.e_types, 4).astype(bool))[:, None]
+        midx = jax.lax.broadcasted_iota(jnp.int32, (N, M, E), 1)
+        nidx = jax.lax.broadcasted_iota(jnp.int32, (N, N, E), 1)
+
+        # invalid actions become STOP
+        mask = jnp.transpose(self._avail_actions_batch(state), (1, 2, 0))  # (N, A, E)
+        aidx = jax.lax.broadcasted_iota(jnp.int32, mask.shape, 1)
+        valid = jnp.sum(mask * (aidx == a[:, None, :]), axis=1) > 0
+        a = jnp.where(valid, a, STOP)
+
+        # --- ally movement (branchless deltas)
+        is_move = (a >= MOVE_N) & (a <= MOVE_E) & alive
+        dr = (a == MOVE_S).astype(jnp.int32) - (a == MOVE_N).astype(jnp.int32)
+        dc = (a == MOVE_E).astype(jnp.int32) - (a == MOVE_W).astype(jnp.int32)
+        ally_r = jnp.clip(state.ally_r + jnp.where(is_move, dr, 0), 0, self.rows - 1)
+        ally_c = jnp.clip(state.ally_c + jnp.where(is_move, dc, 0), 0, self.cols - 1)
+
+        # --- ally attacks / heals
+        targeting = (a >= 6) & alive & (state.ally_cd == 0)
+        attacking = targeting & ~healer
+        healing = targeting & healer
+        target_id = jnp.clip(a - 6, 0, max(M, N) - 1)  # (N, E)
+        dmg_to_enemy = jnp.sum(
+            (attacking[:, None, :] & (jnp.clip(target_id, 0, M - 1)[:, None, :] == midx))
+            * a_dmg[:, None, :],
+            axis=0,
+        )  # (M, E)
+        dmg_to_enemy = jnp.minimum(dmg_to_enemy, state.enemy_hp)  # no overkill credit
+        enemy_hp = jnp.maximum(state.enemy_hp - dmg_to_enemy, 0.0)
+        kills = e_alive & (enemy_hp <= 0)
+        heal_to_ally = jnp.sum(
+            (healing[:, None, :] & (jnp.clip(target_id, 0, N - 1)[:, None, :] == nidx))
+            * a_dmg[:, None, :],
+            axis=0,
+        )  # (N, E)
+        ally_cd = jnp.where(targeting, a_cds, jnp.maximum(state.ally_cd - 1, 0))
+
+        # --- scripted enemies
+        dist = jnp.maximum(
+            jnp.abs(state.enemy_r[:, None, :] - ally_r[None]),
+            jnp.abs(state.enemy_c[:, None, :] - ally_c[None]),
+        )  # (M, N, E)
+        dist = jnp.where(alive[None], dist, 10**6)
+        nearest = jnp.argmin(dist, axis=1)  # (M, E)
+        nearest_dist = jnp.min(dist, axis=1)
+        any_ally = jnp.any(alive, axis=0)  # (E,)
+        can_act = e_alive & (state.enemy_cd == 0) & any_ally[None, :]
+        can_shoot = can_act & ~e_healer & (nearest_dist <= e_range)
+        mnidx = jax.lax.broadcasted_iota(jnp.int32, (M, N, E), 1)
+        near_onehot = nearest[:, None, :] == mnidx  # (M, N, E)
+        dmg_to_ally = jnp.sum(
+            (can_shoot[:, None, :] & near_onehot) * e_dmg[:, None, :], axis=0
+        )  # (N, E)
+
+        # enemy healers: most-damaged teammate, POST-damage hp (a unit whose
+        # kill bonus was granted stays dead)
+        e_alive_post = enemy_hp > 0  # (M, E)
+        e_dist = jnp.maximum(
+            jnp.abs(state.enemy_r[:, None, :] - state.enemy_r[None]),
+            jnp.abs(state.enemy_c[:, None, :] - state.enemy_c[None]),
+        )  # (M, M, E)
+        deficit = jnp.where(e_alive_post, e_maxhp - enemy_hp, -1.0)  # (M, E)
+        not_self_e = ~jnp.eye(M, dtype=bool)[:, :, None]
+        healable = (deficit[None] > 0) & (e_dist <= e_range[:, None, :]) & not_self_e
+        heal_target = jnp.argmax(
+            jnp.where(healable, deficit[None], -1.0), axis=1
+        )  # (M, E)
+        can_heal = can_act & e_healer & jnp.any(healable, axis=1)
+        mmidx = jax.lax.broadcasted_iota(jnp.int32, (M, M, E), 1)
+        heal_to_enemy = jnp.sum(
+            (can_heal[:, None, :] & (heal_target[:, None, :] == mmidx))
+            * e_dmg[:, None, :],
+            axis=0,
+        )  # (M, E)
+
+        ally_hp = jnp.clip(state.ally_hp - dmg_to_ally + heal_to_ally, 0.0, a_maxhp)
+        ally_hp = jnp.where(alive, ally_hp, 0.0)  # heals cannot resurrect
+        enemy_hp = jnp.clip(enemy_hp + heal_to_enemy, 0.0, e_maxhp)
+        enemy_hp = jnp.where(e_alive_post, enemy_hp, 0.0)
+        acted = can_shoot | can_heal
+        enemy_cd = jnp.where(acted, e_cds, jnp.maximum(state.enemy_cd - 1, 0))
+
+        # enemies not acting step toward their nearest ally
+        tgt_r = jnp.sum(near_onehot * ally_r[None], axis=1)  # (M, E)
+        tgt_c = jnp.sum(near_onehot * ally_c[None], axis=1)
+        advance = e_alive & ~acted & any_ally[None, :]
+        enemy_r = jnp.clip(
+            state.enemy_r + jnp.where(advance, jnp.sign(tgt_r - state.enemy_r), 0),
+            0,
+            self.rows - 1,
+        )
+        enemy_c = jnp.clip(
+            state.enemy_c + jnp.where(advance, jnp.sign(tgt_c - state.enemy_c), 0),
+            0,
+            self.cols - 1,
+        )
+
+        # --- shaped team reward
+        win = ~jnp.any(enemy_hp > 0, axis=0)  # (E,)
+        shaped = (
+            jnp.sum(dmg_to_enemy, axis=0)
+            + self.kill_bonus * jnp.sum(kills, axis=0)
+            + self.win_bonus * win
+        ) / self.max_reward
+        reward = jnp.broadcast_to(shaped[None, :], (N, E))
+
+        t = state.t + 1
+        lose = ~jnp.any(ally_hp > 0, axis=0)
+        terminated = win | lose | (t >= self.max_steps)
+
+        new_state = CombatBatchState(
+            ally_r=ally_r,
+            ally_c=ally_c,
+            ally_hp=ally_hp,
+            ally_cd=ally_cd,
+            enemy_r=enemy_r,
+            enemy_c=enemy_c,
+            enemy_hp=enemy_hp,
+            enemy_cd=enemy_cd,
+            t=t,
+        )
+        ts = TimeStep(
+            obs=self._make_obs_batch(new_state),
+            reward=reward.T,
+            stat_reward=reward.T,
+            terminated=terminated,
+            truncated=jnp.zeros((E,), bool),
+            action_mask=self._avail_actions_batch(new_state),
+        )
+        return new_state, ts
+
+    def _make_obs_batch(self, state: CombatBatchState):
+        """(E, N, D) observations, E-last — same layout as `_make_obs`."""
+        N, M = self.n_agents, self._n_e
+        E = state.ally_r.shape[1]
+        scale_r, scale_c = float(self.rows), float(self.cols)
+        a_maxhp = jnp.asarray(self._stats(self.a_types, 0), jnp.float32)[:, None]
+        a_range = jnp.asarray(self._stats(self.a_types, 2), jnp.int32)[:, None]
+        e_maxhp = jnp.asarray(self._stats(self.e_types, 0), jnp.float32)[:, None]
+        tb = self.type_bits
+        a_onehot = jnp.asarray(self._type_onehot(self.a_types))  # (N, tb)
+        e_onehot = jnp.asarray(self._type_onehot(self.e_types))  # (M, tb)
+
+        own = [
+            state.ally_hp / a_maxhp,
+            (state.ally_cd == 0).astype(jnp.float32),
+            state.ally_r.astype(jnp.float32) / scale_r,
+            state.ally_c.astype(jnp.float32) / scale_c,
+        ]
+        if tb:
+            own += [jnp.broadcast_to(a_onehot[:, k, None], (N, E)) for k in range(tb)]
+        own = jnp.stack(own, axis=1)  # (N, 4+tb, E)
+
+        # enemies: viewer axis N, target axis M
+        rel_er = (state.enemy_r[None] - state.ally_r[:, None, :]).astype(jnp.float32)
+        rel_ec = (state.enemy_c[None] - state.ally_c[:, None, :]).astype(jnp.float32)
+        dist_e = jnp.maximum(jnp.abs(rel_er), jnp.abs(rel_ec))  # (N, M, E)
+        vis_e = (state.enemy_hp > 0)[None] & (dist_e <= self.sight_range)
+        ecols = [
+            vis_e.astype(jnp.float32),
+            jnp.where(vis_e, rel_er / scale_r, 0.0),
+            jnp.where(vis_e, rel_ec / scale_c, 0.0),
+            jnp.where(vis_e, state.enemy_hp[None] / e_maxhp[None], 0.0),
+            (vis_e & (dist_e <= a_range[:, None, :])).astype(jnp.float32),
+        ]
+        if tb:
+            ecols += [
+                vis_e.astype(jnp.float32) * e_onehot[None, :, k, None]
+                for k in range(tb)
+            ]
+        enemy_feats = jnp.stack(ecols, axis=2)  # (N, M, 5+tb, E)
+
+        # allies: viewer axis N, target axis N'
+        rel_ar = (state.ally_r[None] - state.ally_r[:, None, :]).astype(jnp.float32)
+        rel_ac = (state.ally_c[None] - state.ally_c[:, None, :]).astype(jnp.float32)
+        dist_a = jnp.maximum(jnp.abs(rel_ar), jnp.abs(rel_ac))
+        vis_a = (state.ally_hp > 0)[None] & (dist_a <= self.sight_range)
+        acols = [
+            vis_a.astype(jnp.float32),
+            jnp.where(vis_a, rel_ar / scale_r, 0.0),
+            jnp.where(vis_a, rel_ac / scale_c, 0.0),
+            jnp.where(vis_a, state.ally_hp[None] / a_maxhp.T[None].reshape(1, N, 1), 0.0),
+        ]
+        if tb:
+            acols += [
+                vis_a.astype(jnp.float32) * a_onehot[None, :, k, None]
+                for k in range(tb)
+            ]
+        ally_feats = jnp.stack(acols, axis=2)  # (N, N', 4+tb, E)
+        # per viewer i: other allies in index order, skipping self (static)
+        others = jnp.stack(
+            [
+                jnp.concatenate([ally_feats[i, :i], ally_feats[i, i + 1 :]], axis=0)
+                for i in range(N)
+            ]
+        )  # (N, N-1, 4+tb, E)
+
+        obs = jnp.concatenate(
+            [
+                own,
+                enemy_feats.reshape(N, M * enemy_feats.shape[2], E),
+                others.reshape(N, (N - 1) * others.shape[2], E),
+            ],
+            axis=1,
+        )  # (N, D, E)
+        dead = state.ally_hp <= 0  # (N, E)
+        obs = jnp.where(dead[:, None, :], 0.0, obs)
+        return jnp.transpose(obs, (2, 0, 1))
 
     # ------------------------------------------------------------------ masks
 
