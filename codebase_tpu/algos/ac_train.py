@@ -46,24 +46,30 @@ def main(env, eval_env, logger, time_limit, cfg):
         logger.info(f"Resumed from {cfg.resume} at step {int(state.env_steps)}")
 
     total_steps = int(acfg.total_steps)
+    # the reference's AC loop logs training-collected stats at eval_interval
+    # (`ac/train.py:184`; its log_interval knob is never read). Here the
+    # training-stats cadence honors log_interval, falling back to
+    # eval_interval — identical rows at the default 10k == 10k.
+    log_interval = int(acfg.log_interval) if acfg.get("log_interval") else 0
     eval_interval = int(acfg.eval_interval) if acfg.eval_interval else 0
+    log_interval = log_interval or eval_interval
     save_interval = int(acfg.save_interval) if acfg.save_interval else 0
     video_interval = int(acfg.video_interval) if acfg.video_interval else 0
     n_envs = int(acfg.get("parallel_envs", 1))
 
     max_steps_per_iter = n_envs * time_limit
-    chunk_iters = max(1, (eval_interval or 10_000) // max_steps_per_iter)
+    chunk_iters = max(1, (log_interval or 10_000) // max_steps_per_iter)
     chunk_iters = min(chunk_iters, 256)
 
     run_dir = Path(getattr(logger, "run_dir", "."))
     step = int(state.env_steps)
-    last_eval = last_save = last_video = step
+    last_log = last_save = last_video = step
     while step < total_steps + 1:
         state, metrics = train_chunk(state, chunk_iters)
         step = int(state.env_steps)
         updates = int(state.updates)
 
-        if eval_interval and (step - last_eval) >= eval_interval:
+        if log_interval and (step - last_log) >= log_interval:
             # log the final iteration's episode batch, mirroring the
             # reference's per-collection infos (`ac/train.py:171-185`)
             returns = np.asarray(metrics["episode_returns"])[-1]  # (E, N)
@@ -74,7 +80,7 @@ def main(env, eval_env, logger, time_limit, cfg):
             )
             infos.append({"updates": updates, "environment_steps": step})
             logger.log_metrics(infos)
-            last_eval = step
+            last_log = step
 
         if video_interval and (step - last_video) >= video_interval:
             from codebase_tpu.utils.video import record_episodes
@@ -88,7 +94,7 @@ def main(env, eval_env, logger, time_limit, cfg):
             last_video = step
 
         if save_interval and (step - last_save) >= save_interval:
-            save_checkpoint(run_dir / "checkpoints" / f"model_s{step}.pkl", state)
+            save_checkpoint(run_dir / "checkpoints" / f"model_s{step}.msgpack", state)
             last_save = step
 
     return state

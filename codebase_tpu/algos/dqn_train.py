@@ -53,14 +53,19 @@ def main(env, eval_env, logger, time_limit, cfg):
         logger.info(f"Resumed from {cfg.resume} at step {int(state.env_steps)}")
 
     total_steps = int(acfg.total_steps)
+    log_interval = int(acfg.log_interval) if acfg.get("log_interval") else 0
     eval_interval = int(acfg.eval_interval) if acfg.eval_interval else 0
     save_interval = int(acfg.save_interval) if acfg.save_interval else 0
     video_interval = int(acfg.video_interval) if acfg.video_interval else 0
     n_envs = int(acfg.get("parallel_envs", 1))
 
-    # iterations per chunk: aim at the eval cadence, assuming full episodes
+    # iterations per chunk: aim at the finest logging cadence, assuming full
+    # episodes (the reference's `log_interval` is a documented knob that its
+    # own loop never reads — only eval_interval gates logging,
+    # `dqn/train.py:315` — here it controls the training-metrics cadence)
+    cadences = [c for c in (log_interval, eval_interval) if c]
     max_steps_per_iter = n_envs * time_limit
-    chunk_iters = max(1, (eval_interval or 10_000) // max_steps_per_iter)
+    chunk_iters = max(1, (min(cadences) if cadences else 10_000) // max_steps_per_iter)
     chunk_iters = min(chunk_iters, 256)
 
     eps_sched = epsilon_schedule(
@@ -74,30 +79,36 @@ def main(env, eval_env, logger, time_limit, cfg):
 
     run_dir = Path(getattr(logger, "run_dir", "."))
     step = int(state.env_steps)
-    last_eval = last_save = last_video = step
+    last_log = last_eval = last_save = last_video = step
     while step < total_steps + 1:
         state, metrics = train_chunk(state, chunk_iters)
         step = int(state.env_steps)
         updates = int(state.updates)
 
-        if eval_interval and (step - last_eval) >= eval_interval:
+        # eval rollouts and training metrics have independent cadences but
+        # merge into ONE results.csv row when they coincide (the default
+        # log_interval == eval_interval reproduces the reference's combined
+        # row, `dqn/train.py:315-327`)
+        infos = []
+        do_eval = eval_interval and (step - last_eval) >= eval_interval
+        do_log = log_interval and (step - last_log) >= log_interval
+        if do_eval:
             key, k_eval = jax.random.split(key)
-            infos = _eval_infos(evaluate(state.params, k_eval))
-            losses = np.asarray(metrics["loss"])
-            train_metrics = {}
-            if np.any(~np.isnan(losses)):
-                train_metrics["loss"] = float(np.nanmean(losses))
-            if train_metrics:
-                infos.append(train_metrics)
-            infos.append(
-                {
-                    "updates": updates,
-                    "environment_steps": step,
-                    "epsilon": float(eps_sched(step)),
-                }
-            )
-            logger.log_metrics(infos)
+            infos.extend(_eval_infos(evaluate(state.params, k_eval)))
             last_eval = step
+        if do_log:
+            losses = np.asarray(metrics["loss"])
+            if np.any(~np.isnan(losses)):
+                infos.append({"loss": float(np.nanmean(losses))})
+            last_log = step
+        if infos:
+            # every row carries the step/update counters, whichever cadence
+            # fired (one dict so squash_info passes them through unprefixed)
+            counters = {"updates": updates, "environment_steps": step}
+            if do_log:
+                counters["epsilon"] = float(eps_sched(step))
+            infos.append(counters)
+            logger.log_metrics(infos)
 
         if video_interval and (step - last_video) >= video_interval:
             from codebase_tpu.utils.video import record_episodes
@@ -111,7 +122,7 @@ def main(env, eval_env, logger, time_limit, cfg):
             last_video = step
 
         if save_interval and (step - last_save) >= save_interval:
-            save_checkpoint(run_dir / "checkpoints" / f"model_s{step}.pkl", state)
+            save_checkpoint(run_dir / "checkpoints" / f"model_s{step}.msgpack", state)
             last_save = step
 
     return state

@@ -57,7 +57,9 @@ UNIT_STATS = {
     "stalker": (160.0, 13.0, 5, 1, False),
     "zealot": (150.0, 16.0, 1, 1, False),
     "marauder": (125.0, 10.0, 5, 1, False),
-    "medivac": (150.0, 15.0, 4, 1, True),
+    # medivac heal-per-shot follows smaclite/SC2's ~9 hp/s heal rate (one
+    # shot per condensed step ~ one second), not a damage-scale value
+    "medivac": (150.0, 9.0, 4, 1, True),
 }
 _UNIT_ORDER = tuple(UNIT_STATS)
 

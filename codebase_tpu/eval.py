@@ -13,6 +13,7 @@ from pathlib import Path
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 import yaml
 
 from codebase_tpu.config import Config
@@ -25,17 +26,29 @@ DQN_FAMILY = ("idqn", "vdn", "qmix")
 
 
 def build_policy(env, cfg, ckpt_state):
-    """Rebuild the greedy/sampling policy for a checkpointed run."""
+    """Rebuild the greedy/sampling policy for a checkpointed run.
+
+    `ckpt_state` is the raw nested state dict from `load_checkpoint`
+    (template-free load); the policies only need its `params` subtree,
+    restored against a freshly-initialised template so list-shaped layers
+    regain their pytree structure."""
+    from flax import serialization
+
     name = cfg.algorithm.name
     if name in DQN_FAMILY:
         from codebase_tpu.algos.dqn import DQNModel
 
         model = DQNModel.create(env, cfg.algorithm.model, cfg.algorithm)
-        return model, model.policy(ckpt_state.params, float(cfg.algorithm.eps_evaluation))
-    from codebase_tpu.algos.ac import ACModel
+    else:
+        from codebase_tpu.algos.ac import ACModel
 
-    model = ACModel.create(env, cfg.algorithm.model, cfg.algorithm)
-    return model, model.policy(ckpt_state.params["actor"])
+        model = ACModel.create(env, cfg.algorithm.model, cfg.algorithm)
+    template = model.init_params(jax.random.PRNGKey(0))
+    params = serialization.from_state_dict(template, ckpt_state["params"])
+    params = jax.tree.map(jnp.asarray, params)
+    if name in DQN_FAMILY:
+        return model, model.policy(params, float(cfg.algorithm.eps_evaluation))
+    return model, model.policy(params["actor"])
 
 
 def main(argv=None):
@@ -50,7 +63,7 @@ def main(argv=None):
     env = make_env(env_cfg.pop("name"), **env_cfg)
 
     if overrides.get("load_step"):
-        ckpt_path = path / "checkpoints" / f"model_s{overrides['load_step']}.pkl"
+        ckpt_path = path / "checkpoints" / f"model_s{overrides['load_step']}.msgpack"
     else:
         ckpt_path = latest_checkpoint(path / "checkpoints")
     log.info("Loading checkpoint %s", ckpt_path)

@@ -67,7 +67,7 @@ def replay_init(
     obs_dim: int,
     n_actions: int,
     with_mask: bool = True,
-    obs_dtype=jnp.bfloat16,
+    obs_dtype=jnp.float32,
 ) -> ReplayState:
     S, T, N, D, A = size, time_limit, n_agents, obs_dim, n_actions
     return ReplayState(

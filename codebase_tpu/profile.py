@@ -91,11 +91,11 @@ def main(argv=None):
         for _ in range(chunks):
             with profiling.annotate("train_chunk"):
                 state = chunk(state)
-        steps = int(state.env_steps)  # device sync
+        steps = int(state.env_steps)  # device sync (also stops the timer)
     dt = time.time() - t0
     timer.mark(steps)
 
-    report["env_steps_per_s"] = round((steps - s0) / dt, 1)
+    report["env_steps_per_s"] = round(timer.rate(), 1)
     report["updates_per_s"] = round((int(state.updates) - u0) / dt, 2)
     if "chunk_flops" in report:
         report["tflops_per_s"] = round(report["chunk_flops"] * chunks / dt / 1e12, 4)

@@ -107,6 +107,7 @@ class FileSystemLogger(Logger):
         super().__init__(project_name, cfg, run_dir)
         self.run_dir.mkdir(parents=True, exist_ok=True)
         self.results_path = self.run_dir / "results.csv"
+        self._columns: List[str] | None = None
         (self.run_dir / "config.yaml").write_text(
             cfg.to_yaml() if hasattr(cfg, "to_yaml") else str(cfg)
         )
@@ -114,11 +115,29 @@ class FileSystemLogger(Logger):
     def log_metrics(self, metrics: List[Dict]):
         d = squash_info(metrics)
         cols = ["environment_steps"] + sorted(k for k in d if k != "environment_steps")
-        write_header = not self.results_path.exists() or self.results_path.stat().st_size == 0
-        with open(self.results_path, "a") as f:
-            if write_header:
+        fresh = not self.results_path.exists() or self.results_path.stat().st_size == 0
+        if fresh:
+            self._columns = cols
+            with open(self.results_path, "w") as f:
                 f.write(",".join(cols) + "\n")
-            f.write(",".join(_fmt(d.get(c)) for c in cols) + "\n")
+        else:
+            if self._columns is None:  # appending to a pre-existing file
+                with open(self.results_path) as f:
+                    self._columns = f.readline().strip().split(",")
+            missing = [c for c in cols if c not in self._columns]
+            if missing:
+                # rows can carry different column sets when log_interval and
+                # eval_interval diverge — widen the csv to the union so the
+                # schema stays a rectangular results.csv
+                import pandas as pd
+
+                self._columns = ["environment_steps"] + sorted(
+                    set(self._columns + cols) - {"environment_steps"}
+                )
+                df = pd.read_csv(self.results_path).reindex(columns=self._columns)
+                df.to_csv(self.results_path, index=False)
+        with open(self.results_path, "a") as f:
+            f.write(",".join(_fmt(d.get(c)) for c in self._columns) + "\n")
         self.print_progress(
             d.get("updates", 0),
             d.get("environment_steps", 0),

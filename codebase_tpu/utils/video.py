@@ -9,11 +9,14 @@ ffmpeg when available, falling back to GIF).
 
 from __future__ import annotations
 
+import logging
 from pathlib import Path
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+log = logging.getLogger("codebase_tpu")
 
 
 class VideoRecorder:
@@ -32,11 +35,19 @@ class VideoRecorder:
 
             try:
                 imageio.mimsave(str(path), self.frames, fps=self.fps)
-            except Exception:
+            except Exception as exc:
                 gif = path.with_suffix(".gif")
+                log.warning(
+                    "mp4 encode failed (%s: %s); falling back to %s",
+                    type(exc).__name__,
+                    exc,
+                    gif,
+                )
                 imageio.mimsave(str(gif), self.frames, fps=self.fps)
         except ImportError:
-            np.savez_compressed(path.with_suffix(".npz"), frames=np.stack(self.frames))
+            npz = path.with_suffix(".npz")
+            log.warning("imageio unavailable; saving raw frames to %s", npz)
+            np.savez_compressed(npz, frames=np.stack(self.frames))
 
 
 def record_episodes(env, policy, n_frames: int, path):

@@ -102,7 +102,7 @@ class TestCheckpointResume:
         state = init_state(jax.random.PRNGKey(0))
         state, _ = train_chunk(state, 3)
 
-        path = tmp_path / "checkpoints" / "model_s123.pkl"
+        path = tmp_path / "checkpoints" / "model_s123.msgpack"
         save_checkpoint(path, state)
         restored = load_checkpoint(path, template=state)
 
@@ -114,15 +114,75 @@ class TestCheckpointResume:
     def test_latest_checkpoint_discovery(self, tmp_path):
         d = tmp_path / "checkpoints"
         for s in (100, 2000, 900):
-            save_checkpoint(d / f"model_s{s}.pkl", {"x": np.ones(3)})
-        assert latest_checkpoint(d).name == "model_s2000.pkl"
+            save_checkpoint(d / f"model_s{s}.msgpack", {"x": np.ones(3)})
+        assert latest_checkpoint(d).name == "model_s2000.msgpack"
         with pytest.raises(FileNotFoundError):
             latest_checkpoint(tmp_path / "empty")
 
     def test_structure_mismatch_raises(self, tmp_path):
-        save_checkpoint(tmp_path / "c.pkl", {"a": np.ones(2)})
+        save_checkpoint(tmp_path / "c.msgpack", {"a": np.ones(2)})
         with pytest.raises(ValueError):
-            load_checkpoint(tmp_path / "c.pkl", template={"b": {"c": np.ones(2)}})
+            load_checkpoint(tmp_path / "c.msgpack", template={"b": {"c": np.ones(2)}})
+
+
+    def test_old_pickle_format_rejected(self, tmp_path):
+        """Round-1 pickle checkpoints fail with a clear error, not unpickle."""
+        import pickle
+
+        p = tmp_path / "model_s5.pkl"
+        with open(p, "wb") as f:
+            pickle.dump({"a": np.ones(2)}, f)
+        with pytest.raises(ValueError, match="pickle"):
+            load_checkpoint(p)
+
+    def test_bad_version_rejected(self, tmp_path):
+        from flax import serialization
+
+        p = tmp_path / "model_s5.msgpack"
+        blob = serialization.msgpack_serialize(
+            {"meta": {"format": "codebase_tpu-checkpoint", "version": 999}, "state": {}}
+        )
+        p.write_bytes(blob)
+        with pytest.raises(ValueError, match="schema"):
+            load_checkpoint(p)
+
+    def test_templateless_load_returns_state_dict(self, tmp_path):
+        p = tmp_path / "model_s7.msgpack"
+        save_checkpoint(p, {"params": {"w": np.arange(4.0)}})
+        raw = load_checkpoint(p)
+        np.testing.assert_array_equal(raw["params"]["w"], np.arange(4.0))
+
+    def test_bfloat16_roundtrip(self, tmp_path):
+        """bf16 replay arrays must survive the msgpack format bit-exactly."""
+        x = jax.numpy.arange(8, dtype=jax.numpy.bfloat16)
+        p = tmp_path / "model_s9.msgpack"
+        save_checkpoint(p, {"x": x})
+        back = load_checkpoint(p, template={"x": x})
+        assert back["x"].dtype == jax.numpy.bfloat16
+        np.testing.assert_array_equal(np.asarray(back["x"], np.float32), np.asarray(x, np.float32))
+
+
+class TestLogInterval:
+    def test_log_interval_controls_row_cadence(self, tmp_path):
+        """`algorithm.log_interval` sets the training-metric row cadence in
+        results.csv independently of eval_interval (the reference documents
+        the knob but never reads it, `marlbase/configs/default.yaml:21`)."""
+        import pandas as pd
+
+        from codebase_tpu import run as run_cli
+
+        base = [
+            "+algorithm=idqn", "env.name=matrix-coordination", "env.time_limit=1",
+            "algorithm.total_steps=400", "algorithm.training_start=0",
+            "algorithm.buffer_size=64", "algorithm.batch_size=8",
+            "algorithm.eval_interval=200", "algorithm.eval_episodes=2",
+            "env.parallel_envs=8", "seed=0",
+        ]
+        run_cli.main(base + [f"run_dir={tmp_path / 'a'}", "algorithm.log_interval=200"])
+        run_cli.main(base + [f"run_dir={tmp_path / 'b'}", "algorithm.log_interval=48"])
+        rows_coarse = len(pd.read_csv(tmp_path / "a" / "results.csv"))
+        rows_fine = len(pd.read_csv(tmp_path / "b" / "results.csv"))
+        assert rows_fine > rows_coarse
 
 
 class TestPostprocessing:

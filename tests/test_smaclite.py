@@ -186,7 +186,7 @@ class TestUnitTypes:
         # marine (agent 1): enemy out of range -> attack slot 6 invalid
         assert mask[1, 6] == 0
         s2, ts = env.step(s, jnp.asarray([7, 1]), jax.random.PRNGKey(0))
-        np.testing.assert_allclose(float(s2.ally_hp[1]), 20.0 + 15.0)
+        np.testing.assert_allclose(float(s2.ally_hp[1]), 20.0 + 9.0)  # smaclite ~9 hp/s heal
         # healing does not damage enemies or grant shaped reward
         np.testing.assert_allclose(float(s2.enemy_hp[0]), 45.0)
         np.testing.assert_allclose(float(ts.reward[0]), 0.0)
