@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -38,8 +38,10 @@ from codebase_tpu.algos.common import make_optimizer, soft_update, tree_where
 from codebase_tpu.envs.api import Environment
 from codebase_tpu.envs.vector import Rollout, collect_episodes
 from codebase_tpu.models import distributions as D
+from codebase_tpu.envs.wrappers import standardisation_plan
 from codebase_tpu.models.multi_agent import MultiAgentNetwork
 from codebase_tpu.ops.returns import nstep_returns
+from codebase_tpu.ops.reward_stream import RewardStream, apply_plan
 from codebase_tpu.ops.running_stats import RunningMeanStd
 
 
@@ -52,6 +54,9 @@ class ACTrainState:
     key: jnp.ndarray
     env_steps: jnp.ndarray  # () int32
     updates: jnp.ndarray  # () int32
+    # persistent per-env reward-standardisation moments (None unless the env
+    # stack contains a StandardiseReward marker; see ops/reward_stream.py)
+    reward_stream: Optional[RewardStream] = None
 
 
 @dataclass(frozen=True)
@@ -236,12 +241,13 @@ def build_train_functions(
 
         env_sharding = env_axis_sharding(mesh)
     model = ACModel.create(env, acfg.model, acfg)
+    reward_plan = standardisation_plan(env)
     n_envs = int(acfg.get("parallel_envs", 1))
     tau = float(acfg.target_update_interval_or_tau)
     opt = make_optimizer(acfg.optimizer, float(acfg.lr), acfg.grad_clip)
 
     @jax.jit
-    def init_state(key) -> ACTrainState:
+    def _init_state(key) -> ACTrainState:
         k_model, k_loop = jax.random.split(key)
         params = model.init_params(k_model)
         return ACTrainState(
@@ -252,7 +258,18 @@ def build_train_functions(
             key=k_loop,
             env_steps=jnp.asarray(0, jnp.int32),
             updates=jnp.asarray(0, jnp.int32),
+            reward_stream=(
+                RewardStream.init(n_envs, env.n_agents) if reward_plan else None
+            ),
         )
+
+    def init_state(key) -> ACTrainState:
+        state = _init_state(key)
+        if mesh is not None:
+            from codebase_tpu.parallel.mesh import ac_state_shardings
+
+            state = jax.device_put(state, ac_state_shardings(state, mesh))
+        return state
 
     def update(state: ACTrainState, rollout: Rollout, k_upd):
         # (T+1, E, N, D) -> (N, T+1, E, D)
@@ -320,6 +337,14 @@ def build_train_functions(
             bool(acfg.use_proper_termination),
             env_sharding=env_sharding,
         )
+        if reward_plan is not None:
+            # persistent streaming standardisation of the raw rewards
+            # (reference wrapper lifetime semantics, `utils/wrappers.py:111`)
+            stream, std_rewards = apply_plan(
+                reward_plan, state.reward_stream, rollout.stat_rewards, rollout.filled
+            )
+            rollout = rollout.replace(rewards=std_rewards)
+            state = state.replace(reward_stream=stream)
         state, metrics = update(state.replace(key=key), rollout, k_upd)
         # step accounting: t_max * parallel_envs (`ac/train.py:204`)
         t_max = jnp.max(rollout.episode_lengths).astype(jnp.int32)

@@ -27,10 +27,10 @@ def _episode_infos(returns: np.ndarray, lengths: np.ndarray) -> list:
     return infos
 
 
-def main(env, eval_env, logger, time_limit, cfg):
+def main(env, eval_env, logger, time_limit, cfg, mesh=None):
     acfg = cfg.algorithm
     model, init_state, train_chunk, evaluate = build_train_functions(
-        env, eval_env, acfg, time_limit
+        env, eval_env, acfg, time_limit, mesh=mesh
     )
     logger.watch(model)
 
@@ -43,6 +43,10 @@ def main(env, eval_env, logger, time_limit, cfg):
         from codebase_tpu.utils.checkpoint import load_checkpoint
 
         state = load_checkpoint(cfg.resume, template=state)
+        if mesh is not None:
+            from codebase_tpu.parallel.mesh import ac_state_shardings
+
+            state = jax.device_put(state, ac_state_shardings(state, mesh))
         logger.info(f"Resumed from {cfg.resume} at step {int(state.env_steps)}")
 
     total_steps = int(acfg.total_steps)

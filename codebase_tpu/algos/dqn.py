@@ -38,7 +38,9 @@ from codebase_tpu.envs.vector import collect_episodes
 from codebase_tpu.models.distributions import MASK_NEG
 from codebase_tpu.models.mixers import QMixer
 from codebase_tpu.models.multi_agent import MultiAgentNetwork
+from codebase_tpu.envs.wrappers import standardisation_plan
 from codebase_tpu.ops.replay import ReplayState, replay_add, replay_init, replay_sample
+from codebase_tpu.ops.reward_stream import RewardStream, apply_plan
 from codebase_tpu.ops.running_stats import RunningMeanStd
 from codebase_tpu.ops.schedules import epsilon_schedule
 
@@ -54,6 +56,9 @@ class DQNTrainState:
     env_steps: jnp.ndarray  # () int32
     updates: jnp.ndarray  # () int32
     last_target_update: jnp.ndarray  # () int32
+    # persistent per-env reward-standardisation moments (None unless the env
+    # stack contains a StandardiseReward marker; see ops/reward_stream.py)
+    reward_stream: Optional[RewardStream] = None
 
 
 @dataclass(frozen=True)
@@ -245,6 +250,7 @@ def build_train_functions(
 
         env_sharding = env_axis_sharding(mesh)
     model = DQNModel.create(env, acfg.model, acfg)
+    reward_plan = standardisation_plan(env)
     n_envs = int(acfg.get("parallel_envs", 1))
     batch_size = int(acfg.batch_size)
     # round the episode capacity up to a multiple of the insert width so ring
@@ -295,6 +301,9 @@ def build_train_functions(
             env_steps=jnp.asarray(0, jnp.int32),
             updates=jnp.asarray(0, jnp.int32),
             last_target_update=jnp.asarray(0, jnp.int32),
+            reward_stream=(
+                RewardStream.init(n_envs, env.n_agents) if reward_plan else None
+            ),
         )
 
     def init_state(key) -> DQNTrainState:
@@ -342,6 +351,14 @@ def build_train_functions(
             bool(acfg.use_proper_termination),
             env_sharding=env_sharding,
         )
+        reward_stream = state.reward_stream
+        if reward_plan is not None:
+            # persistent streaming standardisation of the raw rewards
+            # (reference wrapper lifetime semantics, `utils/wrappers.py:111`)
+            reward_stream, std_rewards = apply_plan(
+                reward_plan, reward_stream, rollout.stat_rewards, rollout.filled
+            )
+            rollout = rollout.replace(rewards=std_rewards)
         buffer = replay_add(state.buffer, rollout)
         env_steps = state.env_steps + rollout.env_steps.astype(jnp.int32)
 
@@ -378,6 +395,7 @@ def build_train_functions(
             env_steps=env_steps,
             updates=updates,
             last_target_update=last,
+            reward_stream=reward_stream,
         )
         metrics = {
             "loss": loss,

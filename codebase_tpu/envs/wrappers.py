@@ -30,6 +30,11 @@ from codebase_tpu.envs.api import Environment, TimeStep
 class WrapperBase(Environment):
     env: Environment
 
+    # reward-transforming wrappers override this with a pure fn over a
+    # (..., N) reward array (used by `standardisation_plan` to re-order
+    # transforms around the StandardiseReward marker)
+    reward_transform = None
+
     @property
     def n_agents(self):
         return self.env.n_agents
@@ -149,9 +154,12 @@ class CooperativeReward(WrapperBase):
     `configs/algorithm/vdn.yaml:6-8`). `stat_reward` stays raw, matching the
     reference where `RecordEpisodeStatistics` sits below this wrapper."""
 
+    def reward_transform(self, reward):
+        team = jnp.sum(reward, axis=-1, keepdims=True)
+        return jnp.broadcast_to(team, reward.shape)
+
     def _team(self, ts: TimeStep) -> TimeStep:
-        team = jnp.sum(ts.reward, axis=-1, keepdims=True)
-        return ts.replace(reward=jnp.broadcast_to(team, ts.reward.shape))
+        return ts.replace(reward=self.reward_transform(ts.reward))
 
     def reset(self, key):
         return self.env.reset(key)
@@ -168,63 +176,72 @@ class CooperativeReward(WrapperBase):
         return s, self._team(ts)
 
 
-@struct.dataclass
-class StandardiseRewardState:
-    inner: object
-    sumw: jnp.ndarray  # (N,)
-    wmean: jnp.ndarray  # (N,)
-    tvar: jnp.ndarray  # (N,)
-    n: jnp.ndarray  # () float32
+@dataclass(frozen=True)
+class StandardiseReward(WrapperBase):
+    """Marker: the reward-standardisation point in the wrapper stack.
+
+    The reference wrapper (`utils/wrappers.py:111-141`) keeps West's
+    streaming moments for the *lifetime of each env worker*. A stateful
+    in-stack version cannot reproduce that under the functional API: every
+    rollout re-resets wrapper state (round-1 behavior: streams restarted per
+    episode) and finished envs keep stepping inside the fixed-T scan, which
+    would pollute the moments with post-done rewards. So this wrapper is a
+    pure passthrough; `standardisation_plan` detects its position and the
+    train loops thread a persistent per-env-instance `RewardStream`
+    (`ops/reward_stream.py`) through TrainState, updated exactly once per
+    filled step — the reference's lifetime semantics at batch scale.
+    """
+
+    def reset(self, key):
+        return self.env.reset(key)
+
+    def step(self, state, actions, key):
+        return self.env.step(state, actions, key)
+
+    def reset_batch(self, key, n):
+        return self.env.reset_batch(key, n)
+
+    def step_batch(self, state, actions, key):
+        return self.env.step_batch(state, actions, key)
 
 
 @dataclass(frozen=True)
-class StandardiseReward(WrapperBase):
-    """Streaming per-agent reward standardisation, the exact update of
-    `utils/wrappers.py:111-141` (West's weighted incremental algorithm with
-    unit weights). Statistics persist across episodes — they live in the
-    wrapper state and are only reinitialised on `reset`, whereas the
-    reference's persist for the lifetime of the env object; for the
-    vectorised rollouts here, each env instance's stream restarts per
-    episode. `stat_reward` stays raw."""
+class RewardPlan:
+    """Reward transforms around a StandardiseReward marker, innermost first.
 
-    def _init_state(self, s, reward_like):
-        zeros = jnp.zeros_like(reward_like)
-        return StandardiseRewardState(
-            inner=s, sumw=zeros, wmean=zeros, tvar=zeros, n=jnp.asarray(0.0, jnp.float32)
-        )
+    `below` rebuilds the standardiser's input from raw `stat_reward`s;
+    `above` re-applies the outer transforms to the standardised output
+    (mirroring the reference's wrapper-application order,
+    `utils/envs.py:42-54`)."""
 
-    def _update(self, state, s, ts):
-        reward = ts.reward
-        q = reward - state.wmean
-        temp_sumw = state.sumw + 1.0
-        r = q / temp_sumw
-        wmean = state.wmean + r
-        tvar = state.tvar + q * r * state.sumw
-        n = state.n + 1.0
-        var = (tvar * n) / (temp_sumw * jnp.maximum(n - 1.0, 1e-9))
-        std_reward = (reward - wmean) / (jnp.sqrt(jnp.maximum(var, 0.0)) + 1e-6)
-        out = jnp.where(n <= 1.0, reward, std_reward)
-        new_state = StandardiseRewardState(inner=s, sumw=temp_sumw, wmean=wmean, tvar=tvar, n=n)
-        return new_state, ts.replace(reward=out)
+    below: tuple
+    above: tuple
 
-    def reset(self, key):
-        s, ts = self.env.reset(key)
-        return self._init_state(s, ts.reward), ts
 
-    def step(self, state, actions, key):
-        s, ts = self.env.step(state.inner, actions, key)
-        return self._update(state, s, ts)
-
-    def reset_batch(self, key, n):
-        s, ts = self.env.reset_batch(key, n)
-        return self._init_state(s, ts.reward), ts
-
-    def step_batch(self, state, actions, key):
-        s, ts = self.env.step_batch(state.inner, actions, key)
-        return self._update(state, s, ts)
-
-    def inner_state(self, state):
-        return self.env.inner_state(state.inner)
+def standardisation_plan(env):
+    """Return a `RewardPlan` if `env`'s wrapper stack contains a
+    StandardiseReward marker, else None."""
+    chain = []  # outermost first
+    e = env
+    while isinstance(e, WrapperBase):
+        chain.append(e)
+        e = e.env
+    idx = next(
+        (i for i, w in enumerate(chain) if isinstance(w, StandardiseReward)), None
+    )
+    if idx is None:
+        return None
+    above = tuple(
+        w.reward_transform
+        for w in reversed(chain[:idx])
+        if w.reward_transform is not None
+    )
+    below = tuple(
+        w.reward_transform
+        for w in reversed(chain[idx + 1 :])
+        if w.reward_transform is not None
+    )
+    return RewardPlan(below=below, above=above)
 
 
 @dataclass(frozen=True)

@@ -96,6 +96,51 @@ def gru_cell(params, x, h, compute_dtype: str = "float32"):
     return (1.0 - z) * n + z * h
 
 
+def lstm_layer_init(key, in_dim: int, hidden: int):
+    """Init one LSTM layer with torch's U(+-1/sqrt(hidden)) default.
+
+    Gate order follows torch convention: [input, forget, cell, output]
+    stacked along the 4H axis of w_ih (in, 4H), w_hh (H, 4H), biases (4H,).
+    """
+    keys = jax.random.split(key, 4)
+    bound = math.sqrt(1.0 / hidden)
+
+    def u(k, shape):
+        return jax.random.uniform(k, shape, jnp.float32, -bound, bound)
+
+    return {
+        "w_ih": u(keys[0], (in_dim, 4 * hidden)),
+        "w_hh": u(keys[1], (hidden, 4 * hidden)),
+        "b_ih": u(keys[2], (4 * hidden,)),
+        "b_hh": u(keys[3], (4 * hidden,)),
+    }
+
+
+def lstm_cell(params, x, hc, compute_dtype: str = "float32"):
+    """One LSTM step, torch gate convention.
+
+    x: (..., in); hc: (..., 2H) — h and c concatenated along the feature
+    axis so the carry is ONE array (same pytree shape as the GRU carry,
+    which keeps the multi-agent stacking/broadcast logic cell-agnostic).
+    """
+    hidden = hc.shape[-1] // 2
+    h, c = hc[..., :hidden], hc[..., hidden:]
+    gates = (
+        _matmul(x, params["w_ih"], compute_dtype)
+        + params["b_ih"]
+        + _matmul(h, params["w_hh"], compute_dtype)
+        + params["b_hh"]
+    )
+    g_i, g_f, g_g, g_o = jnp.split(gates, 4, axis=-1)
+    i = jax.nn.sigmoid(g_i)
+    f = jax.nn.sigmoid(g_f)
+    g = jnp.tanh(g_g)
+    o = jax.nn.sigmoid(g_o)
+    c_new = f * c + i * g
+    h_new = o * jnp.tanh(c_new)
+    return jnp.concatenate([h_new, c_new], axis=-1)
+
+
 # ---------------------------------------------------------------------------
 # Network specs
 # ---------------------------------------------------------------------------
@@ -157,20 +202,23 @@ class MLPSpec:
 
 @dataclass(frozen=True)
 class RNNSpec:
-    """Linear -> ReLU -> GRU stack -> Linear (`utils/models.py:51-116`).
+    """Linear -> ReLU -> {GRU|LSTM} stack -> Linear (`utils/models.py:51-116`;
+    the reference's `make_network` supports both cells, `utils/models.py:73`).
 
     dims = (in, hidden, ..., hidden, out): len(dims)-3 + 1... matching the
     reference, `rnn_layers = len(dims[1:-1]) - 1` with all hidden sizes equal
     (`utils/models.py:76-81`). Input/output over (T, B, feat); hidden state
-    (L, B, H).
+    (L, B, C) where C = H for GRU and 2H (h‖c concatenated) for LSTM.
     """
 
     dims: Tuple[int, ...]
     use_orthogonal_init: bool = True
     compute_dtype: str = "float32"
+    cell: str = "gru"  # "gru" | "lstm"
 
     def __post_init__(self):
         assert len(self.dims) > 2, "Need >= 3 dims for RNN"
+        assert self.cell in ("gru", "lstm"), "Only GRU and LSTM are supported"
         hiddens = self.dims[1:-1]
         assert all(h == hiddens[0] for h in hiddens), "equal RNN hidden sizes"
         assert len(hiddens) >= 2, (
@@ -186,29 +234,39 @@ class RNNSpec:
     def num_rnn_layers(self):
         return len(self.dims[1:-1]) - 1
 
+    @property
+    def carry_size(self):
+        return self.hidden_size * (2 if self.cell == "lstm" else 1)
+
     def init(self, key):
         kf, kr, ko = jax.random.split(key, 3)
         h = self.hidden_size
         rnn_keys = jax.random.split(kr, self.num_rnn_layers)
+        layer_init = lstm_layer_init if self.cell == "lstm" else gru_layer_init
         return {
             # first layer: torch default init (reference does not orthogonal-init it)
             "first": linear_init(kf, self.dims[0], h, use_orthogonal=False),
-            "gru": [gru_layer_init(k, h, h) for k in rnn_keys],
+            "rnn": [layer_init(k, h, h) for k in rnn_keys],
             "final": linear_init(ko, h, self.dims[-1], self.use_orthogonal_init),
         }
 
     def apply(self, params, x, h=None):
-        """x: (T, B, in), h: (L, B, H) or None -> ((T, B, out), (L, B, H))."""
+        """x: (T, B, in), h: (L, B, C) or None -> ((T, B, out), (L, B, C))."""
         assert x.ndim == 3, "Expect (seq_len, batch, input_size)"
         if h is None:
             h = self.init_hiddens(x.shape[1])
         x = jax.nn.relu(_matmul(x, params["first"]["w"], self.compute_dtype) + params["first"]["b"])
 
+        H = self.hidden_size
+        is_lstm = self.cell == "lstm"
         new_hiddens = []
-        for layer_idx, layer in enumerate(params["gru"]):
+        for layer_idx, layer in enumerate(params["rnn"]):
             h0 = h[layer_idx]
 
             def step(carry, xt, layer=layer):
+                if is_lstm:
+                    cnext = lstm_cell(layer, xt, carry, self.compute_dtype)
+                    return cnext, cnext[..., :H]  # layer output = h only
                 hnext = gru_cell(layer, xt, carry, self.compute_dtype)
                 return hnext, hnext
 
@@ -218,7 +276,23 @@ class RNNSpec:
         return y, jnp.stack(new_hiddens)
 
     def init_hiddens(self, batch_size: int):
-        return jnp.zeros((self.num_rnn_layers, batch_size, self.hidden_size), jnp.float32)
+        return jnp.zeros((self.num_rnn_layers, batch_size, self.carry_size), jnp.float32)
+
+
+def normalize_rnn_cell(use_rnn) -> Optional[str]:
+    """Normalise the `use_rnn` config value to a cell name or None.
+
+    False/None -> None (MLP); True -> "gru" (the reference's default
+    `rnn=nn.GRU`, `utils/models.py:121-122`); "gru"/"lstm" select the cell
+    (`utils/models.py:73` supports both)."""
+    if use_rnn is True:
+        return "gru"
+    if not use_rnn:
+        return None
+    cell = str(use_rnn).lower()
+    if cell not in ("gru", "lstm"):
+        raise ValueError(f"use_rnn must be bool, 'gru' or 'lstm'; got {use_rnn!r}")
+    return cell
 
 
 def make_network_spec(dims, use_rnn=False, use_orthogonal_init=True, compute_dtype="float32"):
@@ -228,6 +302,7 @@ def make_network_spec(dims, use_rnn=False, use_orthogonal_init=True, compute_dty
             f"unsupported model dtype {compute_dtype!r}; choose float32 or bfloat16"
         )
     dims = tuple(int(d) for d in dims)
-    if use_rnn:
-        return RNNSpec(dims, use_orthogonal_init, compute_dtype)
+    cell = normalize_rnn_cell(use_rnn)
+    if cell:
+        return RNNSpec(dims, use_orthogonal_init, compute_dtype, cell)
     return MLPSpec(dims, use_orthogonal_init, compute_dtype)

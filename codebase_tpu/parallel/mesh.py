@@ -24,13 +24,64 @@ thousands of envs is where this workload's FLOPs are.
 
 from __future__ import annotations
 
+import logging
+import os
 from typing import Optional
 
 import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+log = logging.getLogger("codebase_tpu")
+
 DATA_AXIS = "data"
+
+# env vars whose presence marks a multi-host (pod) launch. Only explicit
+# coordinator addresses qualify: TPU runtime vars like TPU_WORKER_HOSTNAMES
+# are also set on single-host (and by the axon tunnel plugin), so they are
+# not reliable multi-host evidence.
+_MULTIHOST_HINTS = (
+    "JAX_COORDINATOR_ADDRESS",
+    "COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+)
+
+_distributed_initialized = False
+
+
+def maybe_initialize_distributed(mode: str = "auto") -> bool:
+    """Bring up the JAX multi-host runtime when this process is one worker of
+    a pod job.
+
+    `auto` (the default from `configs/default.yaml`) initializes iff a
+    multi-host coordinator is advertised in the environment; `always` forces
+    it; `never`/False skips. Idempotent. After initialization `jax.devices()`
+    spans every host, so the data mesh built by `make_mesh` covers the whole
+    slice — gradient psums ride ICI within the slice and DCN across slices.
+    """
+    global _distributed_initialized
+    if mode in (False, None, "never"):
+        return False
+    if _distributed_initialized:
+        return True
+    if mode == "auto" and not any(h in os.environ for h in _MULTIHOST_HINTS):
+        return False
+    try:
+        jax.distributed.initialize()
+    except (ValueError, RuntimeError) as exc:
+        if mode == "auto":
+            # incomplete multi-host environment — stay single-process
+            log.warning("jax.distributed.initialize skipped: %s", exc)
+            return False
+        raise
+    _distributed_initialized = True
+    log.info(
+        "jax.distributed initialized: process %d/%d, %d global devices",
+        jax.process_index(),
+        jax.process_count(),
+        len(jax.devices()),
+    )
+    return True
 
 
 def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
@@ -41,6 +92,28 @@ def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
         assert len(devices) >= n_devices, f"need {n_devices} devices, have {len(devices)}"
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def mesh_from_config(dist_cfg) -> Optional[Mesh]:
+    """Build the data mesh requested by the `distributed` config node.
+
+    `distributed.devices`: null/absent -> no mesh (single default device);
+    "all" -> every visible device; int N -> the first N devices.
+    `distributed.initialize`: "auto" (default) | "always" | "never" controls
+    `jax.distributed.initialize` for multi-host jobs.
+    """
+    if dist_cfg is None:
+        return None
+    devices_spec = dist_cfg.get("devices")
+    if not devices_spec:
+        return None
+    maybe_initialize_distributed(dist_cfg.get("initialize", "auto"))
+    if str(devices_spec) == "all":
+        mesh = make_mesh()
+    else:
+        mesh = make_mesh(int(devices_spec))
+    log.info("data-parallel mesh over %d device(s): %s", mesh.size, mesh)
+    return mesh
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -57,12 +130,12 @@ def _tree_fill(tree, sharding):
 
 
 def dqn_state_shardings(state, mesh: Mesh):
-    """Shardings for a DQNTrainState: replay sharded on the episode-slot
-    axis, everything else replicated."""
+    """Shardings for a DQNTrainState: replay and reward streams sharded on
+    their env/episode-slot axis, everything else replicated."""
     rep = replicated(mesh)
     shardings = _tree_fill(state, rep)
     buf = env_axis_sharding(mesh)
-    return shardings.replace(
+    shardings = shardings.replace(
         buffer=state.buffer.replace(
             obs=buf,
             actions=buf,
@@ -73,9 +146,21 @@ def dqn_state_shardings(state, mesh: Mesh):
             pos=rep,
         )
     )
+    if state.reward_stream is not None:
+        shardings = shardings.replace(
+            reward_stream=_tree_fill(state.reward_stream, buf)
+        )
+    return shardings
 
 
 def ac_state_shardings(state, mesh: Mesh):
-    """AC state is all-replicated; the env axis only exists transiently
-    inside the rollout (constrained there via `collect_episodes`)."""
-    return _tree_fill(state, replicated(mesh))
+    """AC params/optimizer are replicated; the env axis only exists
+    transiently inside the rollout (constrained there via
+    `collect_episodes`) except for the per-env reward streams, which shard
+    like the env batch."""
+    shardings = _tree_fill(state, replicated(mesh))
+    if state.reward_stream is not None:
+        shardings = shardings.replace(
+            reward_stream=_tree_fill(state.reward_stream, env_axis_sharding(mesh))
+        )
+    return shardings

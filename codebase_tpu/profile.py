@@ -51,12 +51,16 @@ def main(argv=None):
     if "parallel_envs" in cfg.env:
         cfg.algorithm.parallel_envs = int(cfg.env.parallel_envs)
 
+    from codebase_tpu.parallel.mesh import mesh_from_config
+
+    mesh = mesh_from_config(cfg.get("distributed"))
+
     if cfg.algorithm.name in DQN_FAMILY:
         from codebase_tpu.algos.dqn import build_train_functions
     else:
         from codebase_tpu.algos.ac import build_train_functions
     _, init_state, train_chunk, _ = build_train_functions(
-        env, env, cfg.algorithm, int(cfg.env.time_limit)
+        env, env, cfg.algorithm, int(cfg.env.time_limit), mesh=mesh
     )
 
     state = init_state(jax.random.PRNGKey(int(cfg.get("seed") or 0)))

@@ -57,6 +57,11 @@ def main(argv=None):
     if "parallel_envs" in cfg.env:
         cfg.algorithm.parallel_envs = int(cfg.env.parallel_envs)
 
+    # data-parallel mesh (distributed.devices=N|all); single-device when unset
+    from codebase_tpu.parallel.mesh import mesh_from_config
+
+    mesh = mesh_from_config(cfg.get("distributed"))
+
     algo = get_algorithm(cfg.algorithm.name)
     trace_dir = cfg.get("trace_dir")
     if trace_dir:
@@ -64,9 +69,9 @@ def main(argv=None):
 
         logger.info(f"Capturing profiler trace to {trace_dir}")
         with trace(trace_dir):
-            algo(env, eval_env, logger, int(cfg.env.time_limit), cfg)
+            algo(env, eval_env, logger, int(cfg.env.time_limit), cfg, mesh=mesh)
     else:
-        algo(env, eval_env, logger, int(cfg.env.time_limit), cfg)
+        algo(env, eval_env, logger, int(cfg.env.time_limit), cfg, mesh=mesh)
     return logger.get_state()
 
 

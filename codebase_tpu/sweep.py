@@ -62,6 +62,20 @@ def run_vmapped_multiseed(cfg, seeds: Sequence[int], run_dir: Path) -> List[Path
     n_seeds = len(seeds)
     keys = jax.vmap(jax.random.PRNGKey)(np.asarray(seeds, np.uint32))
     states = jax.vmap(init_state)(keys)
+
+    # multi-chip sweeps: shard the vmapped SEED axis over the data mesh —
+    # each chip trains its own subset of seeds, zero communication
+    from codebase_tpu.parallel.mesh import env_axis_sharding, mesh_from_config
+
+    mesh = mesh_from_config(cfg.get("distributed"))
+    if mesh is not None:
+        assert n_seeds % mesh.size == 0, (
+            f"number of seeds ({n_seeds}) must divide evenly over "
+            f"{mesh.size} devices"
+        )
+        seed_sharding = env_axis_sharding(mesh)
+        states = jax.device_put(states, jax.tree.map(lambda _: seed_sharding, states))
+
     vchunk = jax.vmap(train_chunk, in_axes=(0, None))
     vevaluate = jax.vmap(evaluate)
 

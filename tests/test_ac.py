@@ -136,3 +136,30 @@ class TestEndToEnd:
         assert int(state.env_steps) > 0
         assert int(state.updates) == 2
         assert np.isfinite(np.asarray(metrics["loss"])).all()
+
+    def test_lstm_ia2c_trains(self):
+        """An LSTM-cell IA2C run trains end-to-end (reference capability:
+        `make_network(..., rnn=nn.LSTM)`, `marlbase/utils/models.py:73`)."""
+        env = make_env("Foraging-5x5-2p-1f-v3", time_limit=5)
+        cfg = make_cfg(
+            "ia2c",
+            **{
+                "algorithm.model.actor.use_rnn": "lstm",
+                "algorithm.model.critic.use_rnn": "lstm",
+            },
+        )
+        cfg.algorithm.parallel_envs = 4
+        model, init_state, train_chunk, _ = build_train_functions(
+            env, env, cfg.algorithm, time_limit=5
+        )
+        assert model.actor.net.cell == "lstm"
+        state = init_state(jax.random.PRNGKey(0))
+        s0 = jax.tree.map(np.asarray, state.params)
+        state, metrics = train_chunk(state, 3)
+        assert int(state.env_steps) > 0
+        assert np.isfinite(np.asarray(metrics["loss"])).all()
+        # parameters actually moved
+        deltas = jax.tree.leaves(
+            jax.tree.map(lambda a, b: float(np.abs(np.asarray(a) - b).max()), state.params, s0)
+        )
+        assert max(deltas) > 0

@@ -113,31 +113,26 @@ def test_wrapped_batched_rollout_consistency():
     )
 
 
-def test_standardise_reward_batched_matches_vmapped_reference():
-    """StandardiseReward.step_batch output == vmapping the scalar wrapper
-    stack (same key stream via the default reset/step_batch split)."""
+def test_standardise_reward_marker_is_identity():
+    """The StandardiseReward wrapper is a pure marker: the env reward channel
+    passes through raw (standardisation is applied by the train loops via a
+    persistent RewardStream, see ops/reward_stream.py), and
+    `standardisation_plan` detects the marker's position."""
+    from codebase_tpu.envs.wrappers import standardisation_plan
+
     env, rollout = _rollouts_for(None, standardise=True)
-
-    class NoBatch(type(env)):  # force the default vmap path
-        def reset_batch(self, key, n):
-            return jax.vmap(self.reset)(jax.random.split(key, n))
-
-        def step_batch(self, state, actions, key):
-            return jax.vmap(self.step)(state, actions, jax.random.split(key, actions.shape[0]))
-
-    env2 = NoBatch(env=env.env, )
-
-    def policy(carry, obs, mask, key):
-        a = jax.random.randint(key, (obs.shape[0], env.n_agents), 0, env.n_actions)
-        return carry, a
-
-    r2 = jax.jit(lambda k: collect_episodes(env2, policy, None, k, E, 15)[0])(
-        jax.random.PRNGKey(7)
+    np.testing.assert_array_equal(
+        np.asarray(rollout.rewards), np.asarray(rollout.stat_rewards)
     )
-    np.testing.assert_allclose(
-        np.asarray(rollout.rewards), np.asarray(r2.rewards), rtol=1e-5, atol=1e-6
+    plan = standardisation_plan(env)
+    assert plan is not None and plan.above == () and plan.below == ()
+    # CooperativeReward listed after the marker re-applies above it
+    env2 = make_env(
+        "lbforaging:Foraging-8x8-2p-3f-v3", time_limit=15,
+        standardise_rewards=True, wrappers=["CooperativeReward"],
     )
-    np.testing.assert_array_equal(np.asarray(rollout.obs), np.asarray(r2.obs))
+    plan2 = standardisation_plan(env2)
+    assert len(plan2.above) == 1 and plan2.below == ()
 
 
 def test_collect_episodes_batched_equals_legacy_vmap_path():

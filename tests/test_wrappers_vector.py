@@ -70,33 +70,119 @@ class TestCooperativeReward:
 
 
 class TestStandardiseReward:
-    def test_streaming_matches_reference_algorithm(self):
-        """Replicate `utils/wrappers.py:119-141` in numpy and compare."""
-        env = make_env("Foraging-8x8-2p-2f-v3", time_limit=30, standardise_rewards=True)
-        key = jax.random.PRNGKey(3)
-        state, ts = env.reset(key)
-        sumw = np.zeros(2, np.float32)
-        wmean = np.zeros(2, np.float32)
-        tvar = np.zeros(2, np.float32)
-        n = 0
-        for t in range(10):
-            key, k1, k2 = jax.random.split(key, 3)
-            actions = jax.random.randint(k1, (2,), 0, 6)
-            state, ts = env.step(state, actions, k2)
-            raw = np.asarray(ts.stat_reward)
-            q = raw - wmean
-            temp = sumw + 1.0
-            r = q / temp
-            wmean = wmean + r
-            tvar = tvar + q * r * sumw
-            sumw = temp
-            n += 1
-            if n == 1:
-                expected = raw
-            else:
-                var = (tvar * n) / (sumw * (n - 1))
-                expected = (raw - wmean) / (np.sqrt(var) + 1e-6)
-            np.testing.assert_allclose(np.asarray(ts.reward), expected, atol=1e-4)
+    """Persistent streaming reward standardisation (`ops/reward_stream.py`),
+    validated against a numpy replay of the reference algorithm
+    (`marlbase/utils/wrappers.py:119-141`) and for run-lifetime persistence
+    (the reference keeps one stream per env worker for the whole run)."""
+
+    @staticmethod
+    def _numpy_reference(rewards, filled):
+        """Per-env West streams over (T, E, N) rewards, filled steps only."""
+        T, E, N = rewards.shape
+        sumw = np.zeros((E, N), np.float64)
+        wmean = np.zeros((E, N), np.float64)
+        tvar = np.zeros((E, N), np.float64)
+        n = np.zeros(E)
+        out = np.zeros_like(rewards)
+        for t in range(T):
+            for e in range(E):
+                if filled[t, e] == 0:
+                    continue
+                raw = rewards[t, e].astype(np.float64)
+                q = raw - wmean[e]
+                temp = sumw[e] + 1.0
+                r = q / temp
+                wmean[e] = wmean[e] + r
+                tvar[e] = tvar[e] + q * r * sumw[e]
+                sumw[e] = temp
+                n[e] += 1
+                if n[e] == 1:
+                    out[t, e] = raw
+                else:
+                    var = tvar[e] * n[e] / (sumw[e] * (n[e] - 1))
+                    out[t, e] = (raw - wmean[e]) / (np.sqrt(var) + 1e-6)
+        return out, n
+
+    def _two_rollouts(self, env, key):
+        def policy(carry, obs, mask, k):
+            a = jax.random.randint(k, (obs.shape[0], env.n_agents), 0, env.n_actions)
+            return carry, a
+
+        k1, k2 = jax.random.split(jax.random.PRNGKey(key))
+        r1, _ = collect_episodes(env, policy, None, k1, n_envs=6, time_limit=12)
+        r2, _ = collect_episodes(env, policy, None, k2, n_envs=6, time_limit=12)
+        return r1, r2
+
+    def test_stream_matches_reference_and_persists_across_rollouts(self):
+        from codebase_tpu.envs.wrappers import standardisation_plan
+        from codebase_tpu.ops.reward_stream import RewardStream, apply_plan
+
+        env = make_env("Foraging-8x8-2p-2f-v3", time_limit=12, standardise_rewards=True)
+        plan = standardisation_plan(env)
+        r1, r2 = self._two_rollouts(env, key=3)
+
+        stream0 = RewardStream.init(6, env.n_agents)
+        stream1, out1 = apply_plan(plan, stream0, r1.stat_rewards, r1.filled)
+        stream2, out2 = apply_plan(plan, stream1, r2.stat_rewards, r2.filled)
+
+        # the stream's sample count grows across rollouts (run lifetime,
+        # not per-episode: VERDICT weak #4)
+        assert np.all(np.asarray(stream1.n) >= 1)
+        assert np.all(np.asarray(stream2.n) > np.asarray(stream1.n))
+        np.testing.assert_allclose(
+            np.asarray(stream2.n),
+            np.asarray(r1.filled).sum(0) + np.asarray(r2.filled).sum(0),
+        )
+
+        # output matches the reference algorithm replayed over the
+        # concatenated reward sequence with ONE persistent stream
+        cat_r = np.concatenate(
+            [np.asarray(r1.stat_rewards), np.asarray(r2.stat_rewards)], axis=0
+        )
+        cat_f = np.concatenate([np.asarray(r1.filled), np.asarray(r2.filled)], axis=0)
+        expected, _ = self._numpy_reference(cat_r, cat_f)
+        got = np.concatenate([np.asarray(out1), np.asarray(out2)], axis=0)
+        np.testing.assert_allclose(got, expected, atol=1e-4)
+
+    def test_cooperative_above_marker_sums_standardised_rewards(self):
+        """VDN wiring: CooperativeReward sits above StandardiseReward in the
+        reference factory, so the team reward is the sum of *standardised*
+        per-agent rewards (`utils/envs.py:42-54`)."""
+        from codebase_tpu.envs.wrappers import standardisation_plan
+        from codebase_tpu.ops.reward_stream import RewardStream, apply_plan
+
+        env = make_env(
+            "Foraging-8x8-2p-2f-v3", time_limit=12,
+            standardise_rewards=True, wrappers=["CooperativeReward"],
+        )
+        plan = standardisation_plan(env)
+        r1, _ = self._two_rollouts(env, key=5)
+        stream0 = RewardStream.init(6, env.n_agents)
+        _, out = apply_plan(plan, stream0, r1.stat_rewards, r1.filled)
+        expected, _ = self._numpy_reference(np.asarray(r1.stat_rewards), np.asarray(r1.filled))
+        team = expected.sum(-1, keepdims=True) * np.asarray(r1.filled)[..., None]
+        np.testing.assert_allclose(np.asarray(out), np.broadcast_to(team, out.shape), atol=1e-4)
+
+    def test_dqn_train_state_stream_grows(self):
+        """End-to-end: the DQN TrainState carries the stream and its count
+        grows monotonically across train chunks."""
+        from codebase_tpu.algos.dqn import build_train_functions
+        from codebase_tpu.config import load_config
+
+        env = make_env("Foraging-5x5-2p-1f-v3", time_limit=5, standardise_rewards=True)
+        cfg = load_config(
+            ["+algorithm=idqn", "algorithm.training_start=0",
+             "algorithm.buffer_size=32", "algorithm.batch_size=4"]
+        )
+        cfg.algorithm.parallel_envs = 4
+        _, init_state, train_chunk, _ = build_train_functions(env, env, cfg.algorithm, 5)
+        state = init_state(jax.random.PRNGKey(0))
+        assert state.reward_stream is not None
+        state1, _ = train_chunk(state, 2)
+        state2, _ = train_chunk(state1, 2)
+        n1 = np.asarray(state1.reward_stream.n)
+        n2 = np.asarray(state2.reward_stream.n)
+        assert np.all(n1 >= 2) and np.all(n2 > n1)
 
 
 class TestCollectEpisodes:
