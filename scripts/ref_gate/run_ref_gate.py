@@ -1,0 +1,252 @@
+"""Learning-curve acceptance gate: run the REFERENCE's unmodified torch
+algorithms on this framework's JAX environments.
+
+The reference's original env packages (lbforaging/rware/smaclite) are not
+installable in this sandbox (zero egress; BASELINE.md documents this), so
+the gate instead holds the *environment* fixed and compares the two
+*algorithm stacks* on identical dynamics:
+
+- reference side: `marlbase.dqn.train.main` / `marlbase.ac.train.main`
+  imported in place from /root/reference (NOT copied), driven through
+  `codebase_tpu.envs.gym_compat.GymnasiumEnv` — the reference code runs
+  byte-for-byte as shipped, including its ReplayBuffer, models, epsilon
+  schedule and update rules, on torch CPU.
+- framework side: `python -m codebase_tpu.run` at the same hyperparameters
+  on the same JAX env (see BASELINE.md "learning gate").
+
+Missing reference deps `hydra`/`omegaconf` are satisfied by the minimal
+shims in scripts/ref_shims (the reference only touches DictConfig attr
+access and `hydra.utils.instantiate`).
+
+Hyperparameters are the reference defaults
+(`/root/reference/marlbase/configs/{default.yaml,algorithm/idqn.yaml,
+algorithm/ia2c.yaml}`).
+
+Usage (CPU JAX; keep PYTHONPATH=/root/repo so the axon TPU sitecustomize is
+not loaded — see scripts/test.sh):
+
+    PYTHONPATH=/root/repo JAX_PLATFORMS=cpu \
+      python scripts/ref_gate/run_ref_gate.py --algo idqn --seed 0 \
+        --total-steps 2000000 --out outputs/ref_gate
+
+Writes <out>/<algo>_seed<seed>.csv (one row per eval interval) and prints a
+final JSON summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[2]
+sys.path.insert(0, str(REPO / "scripts" / "ref_shims"))
+sys.path.insert(0, "/root/reference")
+sys.path.insert(0, str(REPO))
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+ENV_NAME = "lbforaging:Foraging-8x8-2p-3f-v3"
+TIME_LIMIT = 25
+
+# Reference-default hyperparameters, transcribed from
+# /root/reference/marlbase/configs/ (default.yaml + algorithm/{idqn,ia2c}.yaml).
+IDQN_CFG = dict(
+    name="idqn",
+    model=dict(
+        _target_="dqn.model.QNetwork",
+        layers=[128, 128],
+        parameter_sharing=False,
+        use_orthogonal_init=True,
+        use_rnn=False,
+        device="cpu",
+    ),
+    training_start=2000,
+    buffer_size=10000,
+    optimizer="Adam",
+    lr=3e-4,
+    gamma=0.99,
+    batch_size=32,
+    double_q=True,
+    grad_clip=1.0,
+    use_proper_termination=False,
+    standardise_returns=False,
+    eps_decay_style="linear",
+    eps_decay_over=0.5,
+    eps_start=1.0,
+    eps_end=0.05,
+    eps_exp_decay_rate=6.5,
+    eps_evaluation=0.05,
+    target_update_interval_or_tau=200,
+    save_interval=False,
+    video_interval=False,
+    video_frames=500,
+)
+
+IA2C_CFG = dict(
+    name="ia2c",
+    model=dict(
+        _target_="ac.model.A2CNetwork",
+        actor=dict(
+            layers=[128, 128],
+            parameter_sharing=False,
+            use_orthogonal_init=True,
+            use_rnn=False,
+        ),
+        critic=dict(
+            centralised=False,
+            layers=[128, 128],
+            parameter_sharing=False,
+            use_orthogonal_init=True,
+            use_rnn=False,
+        ),
+        device="cpu",
+    ),
+    optimizer="Adam",
+    lr=3e-4,
+    grad_clip=False,
+    n_steps=5,
+    gamma=0.99,
+    entropy_coef=0.001,
+    value_loss_coef=0.5,
+    use_proper_termination=False,
+    standardise_returns=False,
+    target_update_interval_or_tau=200,
+    save_interval=False,
+    video_interval=False,
+    video_frames=500,
+)
+
+PARALLEL_ENVS = 10  # configs/algorithm/ia2c.yaml: env.parallel_envs
+
+
+class GateLogger:
+    """Minimal logger satisfying the surface the reference train loops use
+    (`watch`, `log_metrics`); squashes infos with the reference's own
+    squash_info and appends rows to a CSV."""
+
+    def __init__(self, out_csv: Path, total_steps: int):
+        self.out_csv = out_csv
+        self.total_steps = total_steps
+        self.rows = []
+        self.t0 = time.time()
+
+    def watch(self, model):
+        pass
+
+    def log_metrics(self, infos):
+        from marlbase.utils.loggers import squash_info
+
+        row = squash_info(infos)
+        row["wall_time_s"] = round(time.time() - self.t0, 1)
+        self.rows.append(row)
+        step = row.get("environment_steps", 0)
+        ret = row.get("mean_episode_returns", float("nan"))
+        fps = step / max(row["wall_time_s"], 1e-9)
+        print(
+            f"  step {step:>9}/{self.total_steps}  mean_episode_returns "
+            f"{ret:.3f}  fps {fps:,.0f}",
+            flush=True,
+        )
+        self.flush()
+
+    def flush(self):
+        keys = sorted({k for r in self.rows for k in r})
+        self.out_csv.parent.mkdir(parents=True, exist_ok=True)
+        with open(self.out_csv, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=keys)
+            w.writeheader()
+            w.writerows(self.rows)
+
+
+def build_single_env(seed: int):
+    from codebase_tpu.envs import wrappers as W
+    from codebase_tpu.envs.factory import make_base_env
+    from codebase_tpu.envs.gym_compat import GymnasiumEnv
+    from marlbase.utils import wrappers as mwrappers
+
+    base = W.TimeLimit(make_base_env(ENV_NAME), limit=TIME_LIMIT)
+    env = GymnasiumEnv(base, seed=seed)
+    env = mwrappers.RecordEpisodeStatistics(env)
+    env.reset(seed=seed)
+    return env
+
+
+def build_vector_env(seed: int):
+    from codebase_tpu.envs import wrappers as W
+    from codebase_tpu.envs.factory import make_base_env
+    from codebase_tpu.envs.gym_compat import JaxVectorEnv
+
+    base = W.TimeLimit(make_base_env(ENV_NAME), limit=TIME_LIMIT)
+    return JaxVectorEnv(base, PARALLEL_ENVS, seed=seed)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--algo", choices=["idqn", "ia2c"], required=True)
+    ap.add_argument("--seed", type=int, required=True)
+    ap.add_argument("--total-steps", type=int, default=2_000_000)
+    ap.add_argument("--eval-interval", type=int, default=20_000)
+    ap.add_argument("--eval-episodes", type=int, default=100)
+    ap.add_argument("--out", type=Path, default=REPO / "outputs" / "ref_gate")
+    args = ap.parse_args()
+
+    import numpy as np
+    import torch
+
+    torch.set_num_threads(1)  # as the reference pins (marlbase/run.py:29)
+    torch.manual_seed(args.seed)
+    np.random.seed(args.seed)
+    import random
+
+    random.seed(args.seed)
+
+    out_csv = args.out / f"{args.algo}_seed{args.seed}.csv"
+    logger = GateLogger(out_csv, args.total_steps)
+    common = dict(
+        total_steps=args.total_steps,
+        eval_interval=args.eval_interval,
+        eval_episodes=args.eval_episodes,
+        log_interval=args.eval_interval,
+    )
+
+    t0 = time.time()
+    if args.algo == "idqn":
+        from marlbase.dqn import train as ref_train
+
+        env = build_single_env(args.seed)
+        eval_env = build_single_env(args.seed + 10_000)
+        cfg = {**IDQN_CFG, **common}
+        ref_train.main(env, eval_env, logger, TIME_LIMIT, **cfg)
+    else:
+        from marlbase.ac import train as ref_train
+
+        envs = build_vector_env(args.seed)
+        eval_env = build_single_env(args.seed + 10_000)
+        cfg = {**IA2C_CFG, **common}
+        ref_train.main(envs, eval_env, logger, TIME_LIMIT, **cfg)
+
+    wall = time.time() - t0
+    tail = [
+        r["mean_episode_returns"]
+        for r in logger.rows[-5:]
+        if "mean_episode_returns" in r
+    ]
+    summary = {
+        "algo": args.algo,
+        "seed": args.seed,
+        "env": ENV_NAME,
+        "total_steps": args.total_steps,
+        "final_mean_episode_returns": float(np.mean(tail)) if tail else None,
+        "fps": round(args.total_steps / wall, 1),
+        "wall_s": round(wall, 1),
+        "csv": str(out_csv),
+    }
+    print(json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()
