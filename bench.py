@@ -1,62 +1,47 @@
-"""Headline benchmark: IDQN training throughput on Level-Based Foraging.
+"""Headline benchmark + full suite. Prints exactly ONE JSON line.
 
-Measures env-steps/s of the full fused train loop (epsilon-greedy rollouts of
-32768 batched env-axis-last Foraging-8x8-2p-3f envs, on-device episodic
+Headline metric: IDQN fused-train-loop throughput on Level-Based Foraging
+(32768 batched env-axis-last Foraging-8x8-2p-3f envs, on-device episodic
 replay, double-Q updates, target maintenance) on one chip — the
-BASELINE.json north-star metric (target: >= 1,000,000 env-steps/s per chip).
+BASELINE.json north-star (target: >= 1,000,000 env-steps/s per chip).
+`vs_baseline` = value / 1e6.
 
-The reference measures the same quantity as "FPS" at runtime
-(`marlbase/utils/loggers.py:69-71`) while stepping ONE Gymnasium env in
-python (typically a few thousand steps/s on CPU); it publishes no numbers
-(BASELINE.md).
+The `suite` field carries every BASELINE.md tracked config (IDQN/LBF,
+IA2C/LBF, VDN+sharing/LBF-10x10, QMIX/RWARE, QMIX/SMAClite-3m) with
+env-steps/s AND MFU derived from XLA's compiled-FLOPs cost analysis
+(see codebase_tpu/bench_suite.py). The reference publishes no numbers and
+has no benchmark suite (`marlbase/utils/loggers.py:69-71` measures FPS at
+runtime and records nothing; BASELINE.md).
 
-Prints exactly one JSON line:
-    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
-vs_baseline = value / 1e6 (the BASELINE.json target).
+Timing notes (axon tunnel): int(scalar) forces a real device sync
+(block_until_ready does not reliably block through the tunnel); best of
+three 16-iteration windows absorbs the ±15% tunnel latency noise.
 """
 
 from __future__ import annotations
 
 import json
-import time
-
-import jax
+import sys
+import traceback
 
 
 def main():
     from codebase_tpu.utils.compilation_cache import enable as enable_cache
 
     enable_cache()
-    from codebase_tpu.algos.dqn import build_train_functions
-    from codebase_tpu.config import load_config
-    from codebase_tpu.envs.factory import make_env
+    from codebase_tpu import bench_suite
 
-    env = make_env("lbforaging:Foraging-8x8-2p-3f-v3", time_limit=25)
-    cfg = load_config(["+algorithm=idqn"])
-    cfg.algorithm.parallel_envs = 32768
-    cfg.algorithm.batch_size = 512
-    cfg.algorithm.updates_per_collect = 8
-    cfg.algorithm.buffer_size = 65536
-    cfg.algorithm.training_start = 0
+    suite = {}
+    for key in bench_suite.CONFIGS:
+        try:
+            suite[key] = bench_suite.run_config(key)
+        except Exception:  # keep the headline alive if one config regresses
+            suite[key] = {"error": traceback.format_exc(limit=3).splitlines()[-1]}
+            print(f"bench_suite config {key} failed:", file=sys.stderr)
+            traceback.print_exc()
 
-    _, init_state, train_chunk, _ = build_train_functions(env, env, cfg.algorithm, 25)
-    state = init_state(jax.random.PRNGKey(0))
-
-    # warm up + compile; int() forces a real device sync (block_until_ready
-    # alone does not reliably block through the axon tunnel)
-    state, _ = train_chunk(state, 8)
-    s0 = int(state.env_steps)
-
-    # host<->device tunnel latency adds +-15% noise to short windows; time
-    # three 16-iteration windows and report the best (device capability)
-    value = 0.0
-    for _ in range(3):
-        t0 = time.time()
-        state, _ = train_chunk(state, 16)
-        steps = int(state.env_steps) - s0
-        dt = time.time() - t0
-        value = max(value, steps / dt)
-        s0 = int(state.env_steps)
+    headline = suite.get("idqn_lbf", {})
+    value = float(headline.get("env_steps_per_s", 0.0) or 0.0)
     print(
         json.dumps(
             {
@@ -64,6 +49,7 @@ def main():
                 "value": round(value, 1),
                 "unit": "env-steps/s/chip",
                 "vs_baseline": round(value / 1e6, 3),
+                "suite": suite,
             }
         )
     )

@@ -1,0 +1,193 @@
+"""Driver-reproducible benchmark suite with MFU.
+
+Measures the fused-train-loop throughput of every BASELINE.md config on the
+current backend and derives MFU (model FLOPs utilisation) from the compiled
+chunk's XLA cost analysis:
+
+    MFU = (compiled FLOPs per chunk / best chunk wall time) / chip peak FLOPs
+
+The reference has no benchmark suite at all (it measures FPS at runtime and
+records nothing, `marlbase/utils/loggers.py:69-71`); these five configs are
+the tracked set from BASELINE.md ("Benchmark configs to track").
+
+RL env-stepping is elementwise-heavy, so MFU is expected to be far below
+LLM-style numbers — it is reported so perf claims carry a FLOPs-utilisation
+figure, not just env-steps/s (VERDICT round 1, "What's weak" #3).
+
+Usage:
+    python -m codebase_tpu.bench_suite            # all configs, 1 JSON line each
+    python -m codebase_tpu.bench_suite --only idqn_lbf
+    python bench.py                               # headline + embedded suite
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+
+# Peak dense bf16 FLOP/s per chip by device kind (public TPU specs).
+PEAK_FLOPS = {
+    "TPU v2": 46e12,
+    "TPU v3": 123e12,
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
+
+# The five BASELINE.md configs. `overrides` are dot-path config overrides on
+# top of the algorithm preset; env batch sizes are the round-1 tuned values.
+CONFIGS = {
+    "idqn_lbf": dict(
+        algo="idqn",
+        env="lbforaging:Foraging-8x8-2p-3f-v3",
+        time_limit=25,
+        overrides=[
+            "algorithm.parallel_envs=32768",
+            "algorithm.batch_size=512",
+            "algorithm.updates_per_collect=8",
+            "algorithm.buffer_size=65536",
+            "algorithm.training_start=0",
+        ],
+    ),
+    "ia2c_lbf": dict(
+        algo="ia2c",
+        env="lbforaging:Foraging-8x8-2p-3f-v3",
+        time_limit=25,
+        overrides=["algorithm.parallel_envs=8192"],
+    ),
+    "vdn_shared_lbf10": dict(
+        algo="vdn",
+        env="lbforaging:Foraging-10x10-3p-3f-v3",
+        time_limit=25,
+        overrides=[
+            "algorithm.model.parameter_sharing=true",
+            "algorithm.parallel_envs=16384",
+            "algorithm.batch_size=512",
+            "algorithm.updates_per_collect=8",
+            "algorithm.buffer_size=32768",
+            "algorithm.training_start=0",
+        ],
+    ),
+    "qmix_rware": dict(
+        algo="qmix",
+        env="rware-tiny-2ag-v2",
+        time_limit=500,
+        overrides=[
+            "algorithm.parallel_envs=4096",
+            "algorithm.batch_size=128",
+            "algorithm.updates_per_collect=8",
+            "algorithm.buffer_size=8192",
+            "algorithm.training_start=0",
+        ],
+    ),
+    "qmix_smaclite_3m": dict(
+        algo="qmix",
+        env="smaclite:3m-v0",
+        time_limit=60,
+        overrides=[
+            "algorithm.parallel_envs=4096",
+            "algorithm.batch_size=256",
+            "algorithm.updates_per_collect=8",
+            "algorithm.buffer_size=16384",
+            "algorithm.training_start=0",
+        ],
+    ),
+}
+
+
+def chip_peak_flops() -> float | None:
+    kind = jax.devices()[0].device_kind
+    return PEAK_FLOPS.get(kind)
+
+
+def run_config(key: str, windows: int = 3, window_iters: int = 16) -> dict:
+    """Measure one config. Returns env-steps/s, FLOPs/s, and MFU."""
+    from codebase_tpu.algos.dqn import build_train_functions as build_dqn
+    from codebase_tpu.algos.ac import build_train_functions as build_ac
+    from codebase_tpu.profile import DQN_FAMILY
+    from codebase_tpu.config import load_config
+    from codebase_tpu.envs.factory import make_env
+    from codebase_tpu.utils import profiling
+
+    spec = CONFIGS[key]
+    cfg = load_config(
+        [f"+algorithm={spec['algo']}"]
+        + [f"env.name={spec['env']}", f"env.time_limit={spec['time_limit']}"]
+        + spec["overrides"]
+    )
+    env_cfg = cfg.env.to_dict()
+    env_cfg.pop("parallel_envs", None)
+    env = make_env(env_cfg.pop("name"), **env_cfg)
+
+    build = build_dqn if spec["algo"] in DQN_FAMILY else build_ac
+    _, init_state, train_chunk, _ = build(
+        env, env, cfg.algorithm, spec["time_limit"]
+    )
+    state = init_state(jax.random.PRNGKey(0))
+
+    # one compile serves analysis and timing
+    chunk, costs, _ = profiling.compile_and_analyze(
+        lambda s: train_chunk(s, window_iters)[0], state
+    )
+    flops_per_chunk = float(costs.get("flops", 0.0))
+
+    state = chunk(state)  # warmup execution
+    s0 = int(state.env_steps)  # int() forces a real device sync (axon tunnel)
+
+    best_rate, best_dt = 0.0, float("inf")
+    for _ in range(windows):
+        t0 = time.time()
+        state = chunk(state)
+        steps = int(state.env_steps) - s0
+        dt = time.time() - t0
+        s0 = int(state.env_steps)
+        if steps / dt > best_rate:
+            best_rate, best_dt = steps / dt, dt
+
+    peak = chip_peak_flops()
+    flops_per_s = flops_per_chunk / best_dt if flops_per_chunk else None
+    out = {
+        "config": key,
+        "algo": spec["algo"],
+        "env": spec["env"],
+        "env_steps_per_s": round(best_rate, 1),
+        "flops_per_step": round(flops_per_chunk / max(steps, 1), 1)
+        if flops_per_chunk
+        else None,
+        "device_flops_per_s": round(flops_per_s, 1) if flops_per_s else None,
+        "mfu": round(flops_per_s / peak, 5) if (flops_per_s and peak) else None,
+        "device_kind": jax.devices()[0].device_kind,
+    }
+    return out
+
+
+def run_suite(only=None, windows: int = 3) -> dict:
+    results = {}
+    for key in CONFIGS:
+        if only and key != only:
+            continue
+        results[key] = run_config(key, windows=windows)
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", choices=sorted(CONFIGS), default=None)
+    ap.add_argument("--windows", type=int, default=3)
+    args = ap.parse_args()
+
+    from codebase_tpu.utils.compilation_cache import enable as enable_cache
+
+    enable_cache()
+    for key, res in run_suite(args.only, args.windows).items():
+        print(json.dumps(res), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -29,11 +29,14 @@ branchless, fully-vectorisable JAX step function. Semantics implemented:
   Time-limit truncation is a wrapper concern (the reference applies
   `gym.wrappers.TimeLimit`, `utils/envs.py:41`).
 
-Observations use the classic (non-grid) flat layout: 3 entries (y, x, level)
+Observations default to the classic flat layout: 3 entries (y, x, level)
 per food slot then per player slot, coordinates relative to the agent's
 sight-window origin (absolute when sight >= field size), visible entries
 compacted to the front in row-major (foods) / index (players) order,
-empty slots (-1, -1, 0).
+empty slots (-1, -1, 0). `Foraging-grid-*` ids instead emit the original's
+grid mode: per agent the flattened (3, 2*sight+1, 2*sight+1) window of
+[agent-levels, food-levels, access] layers centred on the agent
+(`_make_obs_grid`).
 """
 
 from __future__ import annotations
@@ -99,6 +102,11 @@ class LevelBasedForaging(Environment):
     min_player_level: int = 1
     max_player_level: int = 3
     min_food_level: int = 1
+    # grid observations (`Foraging-grid-...` ids): per-agent flattened
+    # (3, 2*sight+1, 2*sight+1) window of [agent-levels, food-levels, access]
+    # layers, exactly the original package's grid mode (its FlattenObservation
+    # wrapper produces the same vector)
+    grid_obs: bool = False
 
     @property
     def n_agents(self) -> int:
@@ -106,6 +114,9 @@ class LevelBasedForaging(Environment):
 
     @property
     def obs_dim(self) -> int:
+        if self.grid_obs:
+            w = 2 * self.sight + 1
+            return 3 * w * w
         return 3 * self.max_food + 3 * self.num_agents
 
     @property
@@ -326,6 +337,11 @@ class LevelBasedForaging(Environment):
         per-env randomness is drawn with the same per-env keys (categorical
         == argmax(logits + gumbel(key)), reproduced explicitly), while the
         occupancy/neighbourhood arithmetic vectorises over full TPU lanes."""
+        if self.grid_obs:
+            # grid observations have no E-last fast path; the default
+            # vmapped single-env path is correct (and grid ids are a
+            # fidelity variant, not a throughput target)
+            return Environment.reset_batch(self, key, n)
         bstate = self._reset_state_batch(jax.random.split(key, n))
         zeros = jnp.zeros((n, self.num_agents), jnp.float32)
         ts = TimeStep(
@@ -440,6 +456,8 @@ class LevelBasedForaging(Environment):
         """E-last batched transition — exactly `vmap(self.step)` semantics
         (validated against it in tests/test_lbforaging.py), written with the
         env axis trailing so every op vectorises over full TPU lanes."""
+        if self.grid_obs:
+            return Environment.step_batch(self, state, actions, key)
         del key  # dynamics are deterministic given actions
         R, C, N, F = self.rows, self.cols, self.num_agents, self.max_food
         a = jnp.asarray(actions, jnp.int32).T  # (N, E)
@@ -608,9 +626,55 @@ class LevelBasedForaging(Environment):
 
     # ------------------------------------------------------------ observations
 
+    def _make_obs_grid(self, state: LBFState):
+        """Grid observations: (N, 3*(2s+1)^2). Three layers over the field
+        padded by `sight` on every side — agent levels, food levels, and an
+        access mask (1 on free in-bounds cells, 0 on agents/foods/out of
+        bounds) — each agent seeing the (2s+1)-square window centred on
+        itself. Layout matches the original lbforaging grid mode flattened
+        layer-major (its registered `Foraging-grid-*` ids + the reference's
+        FlattenObservation wrapper)."""
+        R, C, N, s = self.rows, self.cols, self.num_agents, self.sight
+        PR, PC = R + 2 * s, C + 2 * s
+        rows = jnp.arange(PR)[None, :, None]  # broadcast (·, PR, ·)
+        cols = jnp.arange(PC)[None, None, :]
+
+        a_r = (state.agent_pos[:, 0] + s)[:, None, None]
+        a_c = (state.agent_pos[:, 1] + s)[:, None, None]
+        a_mask = (rows == a_r) & (cols == a_c)  # (N, PR, PC)
+        agent_layer = jnp.sum(
+            a_mask * state.agent_level[:, None, None], axis=0
+        ).astype(jnp.float32)
+
+        f_r = (state.food_pos[:, 0] + s)[:, None, None]
+        f_c = (state.food_pos[:, 1] + s)[:, None, None]
+        f_mask = (rows == f_r) & (cols == f_c) & state.food_active[:, None, None]
+        food_layer = jnp.sum(
+            f_mask * state.food_level[:, None, None], axis=0
+        ).astype(jnp.float32)
+
+        interior = (
+            (rows[0] >= s) & (rows[0] < s + R) & (cols[0] >= s) & (cols[0] < s + C)
+        )
+        occupied = a_mask.any(0) | f_mask.any(0)
+        access_layer = (interior & ~occupied).astype(jnp.float32)
+
+        layers = jnp.stack([agent_layer, food_layer, access_layer])  # (3,PR,PC)
+        w = 2 * s + 1
+
+        def window(pos):
+            return jax.lax.dynamic_slice(
+                layers, (0, pos[0], pos[1]), (3, w, w)
+            ).reshape(-1)
+
+        return jax.vmap(window)(state.agent_pos)
+
     def _make_obs(self, state: LBFState):
         """(N, 3*max_food + 3*N): food triples then player triples, visible
-        entries compacted to the front, empty slots (-1, -1, 0)."""
+        entries compacted to the front, empty slots (-1, -1, 0).
+        Grid-observation envs (`grid_obs`) use `_make_obs_grid` instead."""
+        if self.grid_obs:
+            return self._make_obs_grid(state)
         N, F, C = self.num_agents, self.max_food, self.cols
         BIG = self.rows * self.cols + 10
 
@@ -695,15 +759,21 @@ class LevelBasedForaging(Environment):
 
 
 def parse_lbf_name(name: str) -> LevelBasedForaging:
-    """Parse `Foraging-{S}x{S}-{P}p-{F}f[-coop][-vK]` (optionally prefixed
-    with `lbforaging:`) into an env spec, mirroring the registered ids of the
-    lbforaging package the reference relies on (README.md:76-87)."""
+    """Parse `Foraging[-grid][-{s}s]-{S}x{S}-{P}p-{F}f[-coop][-vK]`
+    (optionally prefixed with `lbforaging:`) into an env spec, mirroring the
+    registered ids of the lbforaging package the reference relies on
+    (README.md:76-87). `-grid` selects grid observations (the original
+    registers it immediately after "Foraging"; a trailing `-grid` is also
+    accepted)."""
     base = name.split(":")[-1]
     parts = base.split("-")
     assert parts[0] == "Foraging", f"not an lbforaging id: {name}"
     idx = 1
     grid_obs = False
     sight = None
+    if parts[idx] == "grid":  # original id position: Foraging-grid-...
+        grid_obs = True
+        idx += 1
     if parts[idx].endswith("s") and parts[idx][:-1].isdigit():  # partial obs "Foraging-2s-..."
         sight = int(parts[idx][:-1])
         idx += 1
@@ -719,7 +789,6 @@ def parse_lbf_name(name: str) -> LevelBasedForaging:
     coop = "coop" in parts[idx:]
     if "grid" in parts[idx:]:
         grid_obs = True
-    assert not grid_obs, "grid observations not supported yet"
     return LevelBasedForaging(
         rows=rows,
         cols=cols,
@@ -727,4 +796,5 @@ def parse_lbf_name(name: str) -> LevelBasedForaging:
         max_food=foods,
         sight=sight if sight is not None else max(rows, cols),
         force_coop=coop,
+        grid_obs=grid_obs,
     )

@@ -257,3 +257,100 @@ class TestObs:
         s2, ts2 = step(states, actions, jax.random.split(jax.random.PRNGKey(2), 32))
         assert ts2.obs.shape == (32, 2, ENV.obs_dim)
         assert bool(jnp.all(jnp.isfinite(ts2.obs)))
+
+
+class TestGridObservations:
+    """`Foraging-grid-*` ids: flattened (3, 2s+1, 2s+1) windows of
+    [agent-levels, food-levels, access] layers (the original package's grid
+    mode; reference users reach it via the same registered id scheme)."""
+
+    def test_parser_variants(self):
+        env = parse_lbf_name("Foraging-grid-8x8-2p-3f-v3")
+        assert env.grid_obs and env.sight == 8
+        env = parse_lbf_name("lbforaging:Foraging-grid-2s-10x10-3p-3f-coop-v3")
+        assert env.grid_obs and env.sight == 2 and env.force_coop
+        assert not parse_lbf_name("Foraging-8x8-2p-3f-v3").grid_obs
+
+    def test_obs_dim(self):
+        env = parse_lbf_name("Foraging-grid-2s-8x8-2p-3f-v3")
+        w = 2 * 2 + 1
+        assert env.obs_dim == 3 * w * w
+
+    def test_layer_semantics(self):
+        env = LevelBasedForaging(
+            rows=5, cols=5, num_agents=2, max_food=2, sight=2, grid_obs=True
+        )
+        state = manual_state(
+            agent_pos=[[2, 2], [0, 0]],
+            agent_level=[2, 3],
+            food_pos=[[2, 3], [4, 4]],
+            food_level=[1, 2],
+            food_active=[True, True],
+        )
+        w = 5
+        obs = np.asarray(env._make_obs(state)).reshape(2, 3, w, w)
+        agents0, foods0, access0 = obs[0]
+        # window of agent0 at (2,2) with sight 2 covers the whole 5x5 field
+        # and is fully in-bounds; centre is self
+        assert agents0[2, 2] == 2.0  # self level
+        assert agents0[0, 0] == 3.0  # agent1 at (0,0) rel (0,0)
+        assert foods0[2, 3] == 1.0 and foods0[4, 4] == 2.0
+        # access: 0 at agents and foods, 1 on free cells
+        assert access0[2, 2] == 0 and access0[0, 0] == 0
+        assert access0[2, 3] == 0 and access0[4, 4] == 0
+        assert access0[1, 1] == 1
+        # agent1 at (0,0): window extends out of bounds -> padding rows/cols
+        agents1, foods1, access1 = obs[1]
+        assert access1[:2, :].max() == 0 and access1[:, :2].max() == 0
+        assert agents1[2, 2] == 3.0  # self at centre
+        assert agents1[4, 4] == 2.0  # agent0 at rel (+2,+2)
+
+    def test_dynamics_identical_to_flat_variant(self):
+        flat = LevelBasedForaging(rows=6, cols=6, num_agents=2, max_food=2, sight=6)
+        grid = LevelBasedForaging(
+            rows=6, cols=6, num_agents=2, max_food=2, sight=6, grid_obs=True
+        )
+        key = jax.random.PRNGKey(5)
+        s_f, _ = flat.reset(key)
+        s_g, _ = grid.reset(key)
+        for t in range(10):
+            acts = jax.random.randint(jax.random.PRNGKey(t), (2,), 0, 6)
+            k = jax.random.PRNGKey(100 + t)
+            s_f, ts_f = flat.step(s_f, acts, k)
+            s_g, ts_g = grid.step(s_g, acts, k)
+            np.testing.assert_array_equal(
+                np.asarray(s_f.agent_pos), np.asarray(s_g.agent_pos)
+            )
+            np.testing.assert_allclose(
+                np.asarray(ts_f.reward), np.asarray(ts_g.reward)
+            )
+
+    def test_batched_fallback_matches_vmap(self):
+        env = parse_lbf_name("Foraging-grid-2s-6x6-2p-2f-v3")
+        key = jax.random.PRNGKey(0)
+        bstate, ts = env.reset_batch(key, 8)
+        assert ts.obs.shape == (8, 2, env.obs_dim)
+        ref_state, ref_ts = jax.vmap(env.reset)(jax.random.split(key, 8))
+        np.testing.assert_array_equal(np.asarray(ts.obs), np.asarray(ref_ts.obs))
+        acts = jax.random.randint(jax.random.PRNGKey(1), (8, 2), 0, 6)
+        k = jax.random.PRNGKey(2)
+        _, ts2 = env.step_batch(bstate, acts, k)
+        assert ts2.obs.shape == (8, 2, env.obs_dim)
+
+    def test_trains_end_to_end(self):
+        from codebase_tpu.algos.dqn import build_train_functions
+        from codebase_tpu.config import load_config
+        from codebase_tpu.envs.factory import make_env
+
+        env = make_env("lbforaging:Foraging-grid-2s-5x5-2p-1f-v3", time_limit=5)
+        cfg = load_config(
+            ["+algorithm=idqn", "algorithm.parallel_envs=4",
+             "algorithm.batch_size=2", "algorithm.buffer_size=16",
+             "algorithm.training_start=0"]
+        )
+        _, init_state, train_chunk, _ = build_train_functions(
+            env, env, cfg.algorithm, 5
+        )
+        state = init_state(jax.random.PRNGKey(0))
+        state, metrics = train_chunk(state, 2)
+        assert int(state.env_steps) > 0
