@@ -87,6 +87,7 @@ class ACModel:
             use_rnn=a.use_rnn,
             use_orthogonal_init=a.use_orthogonal_init,
             compute_dtype=str(a.get("dtype", "float32")),
+            fused_rnn=str(a.get("fused_rnn", "auto")),
         )
         centralised = bool(c.centralised)
         critic_inputs = (
@@ -100,6 +101,7 @@ class ACModel:
             use_rnn=c.use_rnn,
             use_orthogonal_init=c.use_orthogonal_init,
             compute_dtype=str(c.get("dtype", "float32")),
+            fused_rnn=str(c.get("fused_rnn", "auto")),
         )
         return ACModel(
             actor=actor,

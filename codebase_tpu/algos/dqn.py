@@ -85,6 +85,7 @@ class DQNModel:
             use_rnn=model_cfg.use_rnn,
             use_orthogonal_init=model_cfg.use_orthogonal_init,
             compute_dtype=str(model_cfg.get("dtype", "float32")),
+            fused_rnn=str(model_cfg.get("fused_rnn", "auto")),
         )
         mixer = None
         if mixer_type == "qmix":

@@ -74,6 +74,7 @@ class MultiAgentNetwork:
     use_rnn: Any = False  # False | True (gru) | "gru" | "lstm"
     use_orthogonal_init: bool = True
     compute_dtype: str = "float32"  # "bfloat16" = mixed-precision MXU matmuls
+    fused_rnn: str = "auto"  # pallas fused GRU recurrence (ops/fused_gru.py)
 
     @staticmethod
     def create(
@@ -84,6 +85,7 @@ class MultiAgentNetwork:
         use_rnn: Any = False,
         use_orthogonal_init: bool = True,
         compute_dtype: str = "float32",
+        fused_rnn: str = "auto",
     ) -> "MultiAgentNetwork":
         n_agents = len(input_sizes)
         assert len(output_sizes) == n_agents, "Expect same number of input and output sizes"
@@ -110,6 +112,7 @@ class MultiAgentNetwork:
             use_rnn=use_rnn,
             use_orthogonal_init=use_orthogonal_init,
             compute_dtype=compute_dtype,
+            fused_rnn=str(fused_rnn),
         )
 
     @property
@@ -139,14 +142,20 @@ class MultiAgentNetwork:
     def net(self):
         """The (padded-to-max) stacked network spec."""
         dims = (self.max_input_size,) + self.hidden_dims + (self.max_output_size,)
-        return make_network_spec(dims, self.use_rnn, self.use_orthogonal_init, self.compute_dtype)
+        return make_network_spec(
+            dims, self.use_rnn, self.use_orthogonal_init, self.compute_dtype,
+            self.fused_rnn,
+        )
 
     def group_net(self, g: int):
         """Group g's TRUE-size network spec (init distributions depend on
         fan-in, so heterogeneous groups must be initialised at true dims)."""
         first = self.sharing.index(g)
         dims = (self.input_sizes[first],) + self.hidden_dims + (self.output_sizes[first],)
-        return make_network_spec(dims, self.use_rnn, self.use_orthogonal_init, self.compute_dtype)
+        return make_network_spec(
+            dims, self.use_rnn, self.use_orthogonal_init, self.compute_dtype,
+            self.fused_rnn,
+        )
 
     @property
     def agent_to_group(self) -> jnp.ndarray:

@@ -215,6 +215,11 @@ class RNNSpec:
     use_orthogonal_init: bool = True
     compute_dtype: str = "float32"
     cell: str = "gru"  # "gru" | "lstm"
+    # Fused pallas recurrence (`ops/fused_gru.py`): "auto" uses the kernel on
+    # the TPU backend for GRU cells with MXU-aligned hidden sizes and T >= 2;
+    # "on" forces it (still GRU/aligned only), "off" always scans,
+    # "interpret" runs the kernel in pallas interpreter mode (CPU tests).
+    fused_rnn: str = "auto"
 
     def __post_init__(self):
         assert len(self.dims) > 2, "Need >= 3 dims for RNN"
@@ -259,9 +264,19 @@ class RNNSpec:
 
         H = self.hidden_size
         is_lstm = self.cell == "lstm"
+        fused = self._fused_mode(T=x.shape[0])
         new_hiddens = []
         for layer_idx, layer in enumerate(params["rnn"]):
             h0 = h[layer_idx]
+
+            if fused:
+                from codebase_tpu.ops.fused_gru import gru_layer_sequence
+
+                x, h_last = gru_layer_sequence(
+                    layer, x, h0, self.compute_dtype, interpret=(fused == "interpret")
+                )
+                new_hiddens.append(h_last)
+                continue
 
             def step(carry, xt, layer=layer):
                 if is_lstm:
@@ -274,6 +289,29 @@ class RNNSpec:
             new_hiddens.append(h_last)
         y = _matmul(x, params["final"]["w"], self.compute_dtype) + params["final"]["b"]
         return y, jnp.stack(new_hiddens)
+
+    def _fused_mode(self, T: int):
+        """Resolve `fused_rnn` to False | "compiled" | "interpret" for this
+        call. The kernel covers GRU cells with lane-aligned hidden sizes;
+        everything else falls back to the scan path silently ("auto") — "on"
+        asserts eligibility so misconfiguration is loud."""
+        mode = self.fused_rnn
+        if mode in ("off", False, None) or self.cell != "gru":
+            if mode == "on" and self.cell != "gru":
+                raise ValueError("fused_rnn=on requires the GRU cell")
+            return False
+        aligned = self.hidden_size % 128 == 0
+        if mode == "interpret":
+            return "interpret" if aligned else False
+        if mode == "on":
+            assert aligned, (
+                f"fused_rnn=on needs hidden size % 128 == 0 (got {self.hidden_size})"
+            )
+            return "compiled"
+        # auto: only where the kernel wins — TPU backend, aligned, real seq
+        if jax.default_backend() == "tpu" and aligned and T >= 2:
+            return "compiled"
+        return False
 
     def init_hiddens(self, batch_size: int):
         return jnp.zeros((self.num_rnn_layers, batch_size, self.carry_size), jnp.float32)
@@ -295,7 +333,10 @@ def normalize_rnn_cell(use_rnn) -> Optional[str]:
     return cell
 
 
-def make_network_spec(dims, use_rnn=False, use_orthogonal_init=True, compute_dtype="float32"):
+def make_network_spec(
+    dims, use_rnn=False, use_orthogonal_init=True, compute_dtype="float32",
+    fused_rnn="auto",
+):
     """`make_network` switch (`utils/models.py:119-130`)."""
     if compute_dtype not in ("float32", "bfloat16"):
         raise ValueError(
@@ -304,5 +345,9 @@ def make_network_spec(dims, use_rnn=False, use_orthogonal_init=True, compute_dty
     dims = tuple(int(d) for d in dims)
     cell = normalize_rnn_cell(use_rnn)
     if cell:
-        return RNNSpec(dims, use_orthogonal_init, compute_dtype, cell)
+        mode = str(fused_rnn).lower()
+        mode = {"true": "on", "false": "off", "none": "off"}.get(mode, mode)
+        if mode not in ("auto", "on", "off", "interpret"):
+            raise ValueError(f"fused_rnn must be auto/on/off/interpret; got {fused_rnn!r}")
+        return RNNSpec(dims, use_orthogonal_init, compute_dtype, cell, mode)
     return MLPSpec(dims, use_orthogonal_init, compute_dtype)
