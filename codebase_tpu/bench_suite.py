@@ -40,6 +40,22 @@ PEAK_FLOPS = {
     "TPU v6e": 918e12,
 }
 
+# Peak HBM bandwidth per chip, bytes/s (public TPU specs). RL env stepping
+# is elementwise-dominated, so the binding roofline is BANDWIDTH, not FLOPs:
+# bandwidth_util (= XLA-estimated bytes accessed / wall time / peak BW) is
+# the honest speed-of-light figure for these kernels, with MFU reported
+# alongside for completeness.
+PEAK_HBM_BW = {
+    "TPU v2": 700e9,
+    "TPU v3": 900e9,
+    "TPU v4": 1228e9,
+    "TPU v5 lite": 819e9,
+    "TPU v5e": 819e9,
+    "TPU v5p": 2765e9,
+    "TPU v6 lite": 1640e9,
+    "TPU v6e": 1640e9,
+}
+
 # The five BASELINE.md configs. `overrides` are dot-path config overrides on
 # top of the algorithm preset; env batch sizes are the round-1 tuned values.
 CONFIGS = {
@@ -106,6 +122,11 @@ def chip_peak_flops() -> float | None:
     return PEAK_FLOPS.get(kind)
 
 
+def chip_peak_bandwidth() -> float | None:
+    kind = jax.devices()[0].device_kind
+    return PEAK_HBM_BW.get(kind)
+
+
 def run_config(key: str, windows: int = 3, window_iters: int = 16) -> dict:
     """Measure one config. Returns env-steps/s, FLOPs/s, and MFU."""
     from codebase_tpu.algos.dqn import build_train_functions as build_dqn
@@ -136,6 +157,7 @@ def run_config(key: str, windows: int = 3, window_iters: int = 16) -> dict:
         lambda s: train_chunk(s, window_iters)[0], state
     )
     flops_per_chunk = float(costs.get("flops", 0.0))
+    bytes_per_chunk = float(costs.get("bytes accessed", 0.0))
 
     state = chunk(state)  # warmup execution
     s0 = int(state.env_steps)  # int() forces a real device sync (axon tunnel)
@@ -151,7 +173,9 @@ def run_config(key: str, windows: int = 3, window_iters: int = 16) -> dict:
             best_rate, best_dt = steps / dt, dt
 
     peak = chip_peak_flops()
+    peak_bw = chip_peak_bandwidth()
     flops_per_s = flops_per_chunk / best_dt if flops_per_chunk else None
+    bytes_per_s = bytes_per_chunk / best_dt if bytes_per_chunk else None
     out = {
         "config": key,
         "algo": spec["algo"],
@@ -160,8 +184,16 @@ def run_config(key: str, windows: int = 3, window_iters: int = 16) -> dict:
         "flops_per_step": round(flops_per_chunk / max(steps, 1), 1)
         if flops_per_chunk
         else None,
+        "bytes_per_step": round(bytes_per_chunk / max(steps, 1), 1)
+        if bytes_per_chunk
+        else None,
         "device_flops_per_s": round(flops_per_s, 1) if flops_per_s else None,
         "mfu": round(flops_per_s / peak, 5) if (flops_per_s and peak) else None,
+        # roofline: fraction of peak HBM bandwidth sustained (the binding
+        # resource for elementwise-heavy RL training; see PEAK_HBM_BW note)
+        "hbm_bandwidth_util": round(bytes_per_s / peak_bw, 4)
+        if (bytes_per_s and peak_bw)
+        else None,
         "device_kind": jax.devices()[0].device_kind,
     }
     return out

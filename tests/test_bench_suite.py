@@ -37,8 +37,11 @@ class TestBenchSuite:
         # CPU backend reports flops from XLA cost analysis too
         if res["flops_per_step"] is not None:
             assert res["flops_per_step"] > 0
-        # mfu only defined on known TPU kinds
+        # mfu / bandwidth roofline only defined on known TPU kinds
         assert "mfu" in res
+        assert "hbm_bandwidth_util" in res
+        if res["bytes_per_step"] is not None:
+            assert res["bytes_per_step"] > 0
 
     def test_ac_family_config_scaled_down(self, monkeypatch):
         tiny = dict(
