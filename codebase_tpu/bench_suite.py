@@ -114,6 +114,22 @@ CONFIGS = {
             "algorithm.training_start=0",
         ],
     ),
+    # Recurrent IDQN: BPTT through the GRU over whole episodes — the config
+    # that exercises the fused pallas recurrence (`ops/fused_gru.py`,
+    # `model.fused_rnn=auto` engages it on TPU).
+    "idqn_rnn_lbf": dict(
+        algo="idqn",
+        env="lbforaging:Foraging-8x8-2p-3f-v3",
+        time_limit=25,
+        overrides=[
+            "algorithm.model.use_rnn=true",
+            "algorithm.parallel_envs=8192",
+            "algorithm.batch_size=512",
+            "algorithm.updates_per_collect=8",
+            "algorithm.buffer_size=16384",
+            "algorithm.training_start=0",
+        ],
+    ),
 }
 
 

@@ -216,7 +216,7 @@ class RNNSpec:
     compute_dtype: str = "float32"
     cell: str = "gru"  # "gru" | "lstm"
     # Fused pallas recurrence (`ops/fused_gru.py`): "auto" uses the kernel on
-    # the TPU backend for GRU cells with MXU-aligned hidden sizes and T >= 2;
+    # the TPU backend inside its measured-win envelope (see `_fused_mode`);
     # "on" forces it (still GRU/aligned only), "off" always scans,
     # "interpret" runs the kernel in pallas interpreter mode (CPU tests).
     fused_rnn: str = "auto"
@@ -264,7 +264,7 @@ class RNNSpec:
 
         H = self.hidden_size
         is_lstm = self.cell == "lstm"
-        fused = self._fused_mode(T=x.shape[0])
+        fused = self._fused_mode(T=x.shape[0], B=x.shape[1])
         new_hiddens = []
         for layer_idx, layer in enumerate(params["rnn"]):
             h0 = h[layer_idx]
@@ -290,11 +290,21 @@ class RNNSpec:
         y = _matmul(x, params["final"]["w"], self.compute_dtype) + params["final"]["b"]
         return y, jnp.stack(new_hiddens)
 
-    def _fused_mode(self, T: int):
+    def _fused_mode(self, T: int, B: int):
         """Resolve `fused_rnn` to False | "compiled" | "interpret" for this
         call. The kernel covers GRU cells with lane-aligned hidden sizes;
         everything else falls back to the scan path silently ("auto") — "on"
-        asserts eligibility so misconfiguration is loud."""
+        asserts eligibility so misconfiguration is loud.
+
+        The "auto" envelope comes from measurement, not hope: on a v5e chip
+        (scripts/rnn_kernel_bench.py, BASELINE.md) the fused recurrence beats
+        XLA's scan by ~1.3x only for shortish sequences at mid batch sizes
+        (T<=32, ~768<=B<=1280 at H=128), where one batch tile holds the whole
+        batch — for the backward kernel too — and VMEM residency pays. At
+        larger B the backward must tile (and at B=8192 the per-step gi block
+        alone is 12.6MB vs ~16MB VMEM), lengthening the serial chain — there
+        XLA's full-width scan is genuinely faster. auto engages the kernel
+        only inside the measured-win envelope."""
         mode = self.fused_rnn
         if mode in ("off", False, None) or self.cell != "gru":
             if mode == "on" and self.cell != "gru":
@@ -308,8 +318,13 @@ class RNNSpec:
                 f"fused_rnn=on needs hidden size % 128 == 0 (got {self.hidden_size})"
             )
             return "compiled"
-        # auto: only where the kernel wins — TPU backend, aligned, real seq
-        if jax.default_backend() == "tpu" and aligned and T >= 2:
+        # auto: only inside the measured-win envelope (see docstring)
+        if (
+            jax.default_backend() == "tpu"
+            and aligned
+            and 2 <= T <= 32
+            and 768 <= B <= 10 * self.hidden_size
+        ):
             return "compiled"
         return False
 

@@ -5,29 +5,33 @@ full `(T, B, feat)` episode in one `nn.GRU` call during every update
 (`marlbase/utils/models.py:106-116`; losses BPTT through it,
 `dqn/model.py:118-163`). The straightforward TPU translation is
 `jax.lax.scan` of a GRU cell (see `models/networks.py:gru_cell`), but XLA
-compiles a scan into a sequential while-loop whose body re-reads the
-recurrent weights and hidden state from HBM every timestep — at T=25..500
-that is T round-trips for operands that never change. This kernel runs the
-entire recurrence in ONE pallas_call:
+compiles a scan into a sequential while-loop whose body round-trips the
+hidden state, the gate activations and the recurrent weights through HBM
+every timestep. This kernel runs the entire recurrence in ONE pallas_call:
 
 - the input projection `x @ w_ih + b_ih` stays OUTSIDE the kernel: over the
   folded `(T*B, in)` batch it is one large MXU matmul that XLA already
   schedules at speed-of-light — fusing it would only rebuild XLA;
-- the sequential part — `h_t = GRU(gi_t, h_{t-1} @ w_hh + b_hh)` — loops
-  over T inside the kernel with `w_hh`, `b_hh` and the carry pinned in VMEM,
-  so HBM traffic is exactly one read of `gi` + one write of the outputs;
-- the batch axis is tiled over the pallas grid (each tile's recurrence is
-  independent), keeping VMEM under `_VMEM_BUDGET` at any B;
-- the backward pass is a second pallas kernel (registered via
-  `jax.custom_vjp`) that walks time in reverse and REMATERIALISES the gates
-  from the saved layer outputs (`h_{t-1}` and `gi_t` reproduce r/z/n with one
-  extra VMEM-resident matmul) instead of saving activations — the classic
-  trade of FLOPs for HBM bandwidth, which is what BPTT on TPU is bound by.
+- the sequential part — `h_t = GRU(gi_t, h_{t-1} @ w_hh + b_hh)` — runs on a
+  2-D pallas grid `(batch tiles, T)`: each grid step consumes ONE timestep
+  block `(1, Bt, 3H)` streamed from HBM (pallas double-buffers the DMA
+  against compute) while the carry `h` and the recurrent weights stay pinned
+  in VMEM scratch across the whole call. Streaming one timestep at a time
+  keeps the VMEM working set independent of T, so the batch tile — and with
+  it the MXU shape of the per-step matmul — stays large (~2048 rows);
+- the backward pass is a second streaming kernel (registered via
+  `jax.custom_vjp`) that walks the time grid in reverse (via the BlockSpec
+  index map) and REMATERIALISES the gates from `h_{t-1}` (the shifted saved
+  outputs) and `gi_t` instead of saving activations — the classic trade of
+  FLOPs for HBM bandwidth, which is what BPTT on TPU is bound by. `dw_hh`
+  and `db_hh` accumulate in a revisited output block (TPU grid steps are
+  sequential, so the read-modify-write is race-free).
 
 `fused_gru_sequence` is numerically equivalent to scanning
 `networks.gru_cell` (same torch gate convention/order) and is exercised
 against it — values and grads — in `tests/test_fused_gru.py` (interpret
-mode on the CPU backend; the real Mosaic path runs on TPU).
+mode on the CPU backend; the compiled Mosaic path runs on TPU and is
+benchmarked by `scripts/rnn_kernel_bench.py`).
 """
 
 from __future__ import annotations
@@ -39,18 +43,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# VMEM high-water budget for picking the batch tile (bytes). v5e cores have
-# ~16MB less double-buffering headroom; stay well under.
-_VMEM_BUDGET = 8 * 1024 * 1024
+# VMEM high-water budget for picking the batch tile (bytes). Cores have
+# ~16MB of VMEM; pallas DOUBLE-BUFFERS every grid-mapped block (the 2x in
+# `_batch_tile`), and the carry/weights scratch sits on top.
+_VMEM_BUDGET = 10 * 1024 * 1024
 
 
-def _batch_tile(T: int, B: int, H: int) -> int:
-    """Largest multiple-of-8 batch tile whose working set fits the budget.
-
-    Working set per tile ≈ gi (T,Bt,3H) + y (T,Bt,H) + grads mirror (bwd) of
-    the same, in f32: ~ 2 * T*Bt*4H * 4 bytes.
-    """
-    per_b = 2 * T * 4 * H * 4
+def _batch_tile(B: int, H: int, floats_per_b: int) -> int:
+    """Largest multiple-of-8 batch tile whose double-buffered per-timestep
+    working set fits the budget. `floats_per_b` = f32 elements streamed per
+    batch row per grid step: 4H forward (gi 3H + y H), 8H backward
+    (+ dy, dgi)."""
+    per_b = 2 * floats_per_b * 4
     tile = max(8, min(B, _VMEM_BUDGET // max(per_b, 1)))
     return max(8, (tile // 8) * 8)
 
@@ -64,79 +68,81 @@ def _gates(gi_t, gh):
     return r, z, n
 
 
-def _fwd_kernel(gi_ref, whh_ref, bhh_ref, h0_ref, y_ref, hT_ref):
-    """One batch tile: h_t = (1-z)n + z h_{t-1} for t in [0, T)."""
-    T = gi_ref.shape[0]
-    whh = whh_ref[:]
-    bhh = bhh_ref[:]
+def _fwd_kernel(gi_ref, whh_ref, bhh_ref, h0_ref, y_ref, hT_ref, h_scr):
+    """One (batch-tile, timestep) grid step of the forward recurrence."""
+    t = pl.program_id(1)
 
-    def step(t, h):
-        gh = jnp.dot(h, whh, preferred_element_type=jnp.float32) + bhh
-        r, z, n = _gates(gi_ref[t], gh)
-        h_new = (1.0 - z) * n + z * h
-        y_ref[t] = h_new
-        return h_new
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = h0_ref[:]
 
-    hT_ref[:] = jax.lax.fori_loop(0, T, step, h0_ref[:])
+    h = h_scr[:]
+    gh = jnp.dot(h, whh_ref[:], preferred_element_type=jnp.float32) + bhh_ref[:]
+    r, z, n = _gates(gi_ref[0], gh)
+    h_new = (1.0 - z) * n + z * h
+    y_ref[0] = h_new
+    h_scr[:] = h_new
+
+    @pl.when(t == pl.num_programs(1) - 1)
+    def _():
+        hT_ref[:] = h_new
 
 
 def _bwd_kernel(
-    gi_ref, whh_ref, bhh_ref, h0_ref, y_ref, dy_ref, dhT_ref,
-    dgi_ref, dwhh_ref, dbhh_ref, dh0_ref,
+    gi_ref, whh_ref, bhh_ref, hprev_ref, dy_ref, dhT_ref,
+    dgi_ref, dwhh_ref, dbhh_ref, dh0_ref, dh_scr,
 ):
-    """Reverse-time tile: remat gates from (h_{t-1}, gi_t), accumulate dw_hh
-    and db_hh across batch tiles (TPU grid steps run sequentially, so the
-    read-modify-write on the shared output block is race-free)."""
-    T, _, H3 = gi_ref.shape
-    H = H3 // 3
-    whh = whh_ref[:]
-    bhh = bhh_ref[:]
+    """One (batch-tile, reversed-timestep) grid step of the backward pass.
 
-    @pl.when(pl.program_id(0) == 0)
+    `hprev_ref` streams the SHIFTED saved outputs (h0 ‖ y[:-1]), so
+    h_{t-1} for the current global timestep is exactly this block; gates are
+    rematerialised from it with one VMEM-resident matmul."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)  # reversed: first grid step is the LAST timestep
+    def _():
+        dh_scr[:] = dhT_ref[:]
+
+    @pl.when(jnp.logical_and(b == 0, t == 0))
     def _():
         dwhh_ref[:] = jnp.zeros_like(dwhh_ref)
         dbhh_ref[:] = jnp.zeros_like(dbhh_ref)
 
-    def step(i, carry):
-        t = T - 1 - i
-        dh, dwhh, dbhh = carry
-        h_prev = jax.lax.cond(
-            t > 0, lambda: y_ref[jnp.maximum(t - 1, 0)], lambda: h0_ref[:]
-        )
-        gh = jnp.dot(h_prev, whh, preferred_element_type=jnp.float32) + bhh
-        gi_t = gi_ref[t]
-        r, z, n = _gates(gi_t, gh)
+    whh = whh_ref[:]
+    h_prev = hprev_ref[0]
+    gh = jnp.dot(h_prev, whh, preferred_element_type=jnp.float32) + bhh_ref[:]
+    gi_t = gi_ref[0]
+    r, z, n = _gates(gi_t, gh)
+    H = whh.shape[0]
 
-        dh_total = dy_ref[t] + dh
-        dn = dh_total * (1.0 - z)
-        dz = dh_total * (h_prev - n)
-        dpre_n = dn * (1.0 - n * n)
-        dr = dpre_n * gh[:, 2 * H :]
-        dpre_r = dr * r * (1.0 - r)
-        dpre_z = dz * z * (1.0 - z)
-        dgh_n = dpre_n * r
-        dgh = jnp.concatenate([dpre_r, dpre_z, dgh_n], axis=-1)
-        dgi_ref[t] = jnp.concatenate([dpre_r, dpre_z, dpre_n], axis=-1)
+    dh_total = dy_ref[0] + dh_scr[:]
+    dn = dh_total * (1.0 - z)
+    dz = dh_total * (h_prev - n)
+    dpre_n = dn * (1.0 - n * n)
+    dr = dpre_n * gh[:, 2 * H :]
+    dpre_r = dr * r * (1.0 - r)
+    dpre_z = dz * z * (1.0 - z)
+    dgh_n = dpre_n * r
+    dgh = jnp.concatenate([dpre_r, dpre_z, dgh_n], axis=-1)
+    dgi_ref[0] = jnp.concatenate([dpre_r, dpre_z, dpre_n], axis=-1)
 
-        dh_prev = dh_total * z + jax.lax.dot_general(
-            dgh, whh,
-            dimension_numbers=(((1,), (1,)), ((), ())),  # dgh @ whh.T
-            preferred_element_type=jnp.float32,
-        )
-        dwhh = dwhh + jax.lax.dot_general(
-            h_prev, dgh,
-            dimension_numbers=(((0,), (0,)), ((), ())),  # h_prev.T @ dgh
-            preferred_element_type=jnp.float32,
-        )
-        dbhh = dbhh + jnp.sum(dgh, axis=0)
-        return dh_prev, dwhh, dbhh
-
-    dh0, dwhh, dbhh = jax.lax.fori_loop(
-        0, T, step, (dhT_ref[:], jnp.zeros_like(dwhh_ref), jnp.zeros_like(dbhh_ref))
+    dh_prev = dh_total * z + jax.lax.dot_general(
+        dgh, whh,
+        dimension_numbers=(((1,), (1,)), ((), ())),  # dgh @ whh.T
+        preferred_element_type=jnp.float32,
     )
-    dh0_ref[:] = dh0
-    dwhh_ref[:] += dwhh
-    dbhh_ref[:] += dbhh
+    dwhh_ref[:] += jax.lax.dot_general(
+        h_prev, dgh,
+        dimension_numbers=(((0,), (0,)), ((), ())),  # h_prev.T @ dgh
+        preferred_element_type=jnp.float32,
+    )
+    dbhh_ref[:] += jnp.sum(dgh, axis=0, keepdims=True)
+    dh_scr[:] = dh_prev
+
+    @pl.when(t == pl.num_programs(1) - 1)  # reversed: global timestep 0
+    def _():
+        dh0_ref[:] = dh_prev
 
 
 def _pad_batch(x, B_pad, axis):
@@ -155,11 +161,12 @@ def fused_gru_sequence(gi, w_hh, b_hh, h0, interpret=False):
       gi: (T, B, 3H) precomputed input projection `x @ w_ih + b_ih`
           (torch gate order [r, z, n]).
       w_hh: (H, 3H) recurrent weights.  b_hh: (3H,).  h0: (B, H).
-      interpret: run in pallas interpreter mode (CPU tests).
+      interpret: run in pallas interpreter mode (CPU tests). Must be passed
+          positionally (custom_vjp nondiff arg).
     Returns:
       (y, hT): layer outputs (T, B, H) and final hidden (B, H).
     Equivalent to `lax.scan(gru_cell)` in `models/networks.py` and
-    differentiable via a fused reverse-time kernel (see module docstring).
+    differentiable via the fused reverse-time kernel (see module docstring).
     """
     y, hT = _fused_gru_fwd_impl(gi, w_hh, b_hh, h0, interpret)
     return y, hT
@@ -168,31 +175,38 @@ def fused_gru_sequence(gi, w_hh, b_hh, h0, interpret=False):
 def _fused_gru_fwd_impl(gi, w_hh, b_hh, h0, interpret):
     T, B, H3 = gi.shape
     H = H3 // 3
-    Bt = _batch_tile(T, B, H)
+    Bt = _batch_tile(B, H, 4 * H)
     B_pad = -(-B // Bt) * Bt
     gi_p = _pad_batch(gi, B_pad, 1)
     h0_p = _pad_batch(h0, B_pad, 0)
-    grid = (B_pad // Bt,)
+    grid = (B_pad // Bt, T)
+    f32 = jnp.float32
 
     y, hT = pl.pallas_call(
         _fwd_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((T, Bt, H3), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, H3), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H3,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bt, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bt, H3), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H3), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H3), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bt, H), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((T, Bt, H), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bt, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bt, H), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bt, H), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B_pad, H), jnp.float32),
-            jax.ShapeDtypeStruct((B_pad, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, B_pad, H), f32),
+            jax.ShapeDtypeStruct((B_pad, H), f32),
         ],
+        scratch_shapes=[pltpu.VMEM((Bt, H), f32)],
         interpret=interpret,
-    )(gi_p.astype(jnp.float32), w_hh.astype(jnp.float32), b_hh.astype(jnp.float32), h0_p.astype(jnp.float32))
+    )(
+        gi_p.astype(f32),
+        w_hh.astype(f32),
+        b_hh.reshape(1, H3).astype(f32),
+        h0_p.astype(f32),
+    )
     return y[:, :B], hT[:B]
 
 
@@ -208,52 +222,56 @@ def _fused_gru_bwd(interpret, residuals, cotangents):
     dy, dhT = cotangents
     T, B, H3 = gi.shape
     H = H3 // 3
-    Bt = _batch_tile(T, B, H)
+    Bt = _batch_tile(B, H, 8 * H)
     B_pad = -(-B // Bt) * Bt
-    grid = (B_pad // Bt,)
-
+    grid = (B_pad // Bt, T)
     f32 = jnp.float32
+
+    # shifted outputs: h_prev[t] = y[t-1], h_prev[0] = h0 — lets the kernel
+    # stream h_{t-1} as an ordinary time-indexed block
+    h_prev = jnp.concatenate([h0[None], y[:-1]], axis=0)
+
     args = (
         _pad_batch(gi, B_pad, 1).astype(f32),
         w_hh.astype(f32),
-        b_hh.astype(f32),
-        _pad_batch(h0, B_pad, 0).astype(f32),
-        _pad_batch(y, B_pad, 1).astype(f32),
+        b_hh.reshape(1, H3).astype(f32),
+        _pad_batch(h_prev, B_pad, 1).astype(f32),
         _pad_batch(dy, B_pad, 1).astype(f32),
         _pad_batch(dhT, B_pad, 0).astype(f32),
     )
+    rev = lambda b, t: (T - 1 - t, b, 0)  # noqa: E731 — reversed-time stream
     dgi, dwhh, dbhh, dh0 = pl.pallas_call(
         _bwd_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((T, Bt, H3), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, H3), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H3,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bt, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, Bt, H), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, Bt, H), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bt, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bt, H3), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H3), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H3), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bt, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bt, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bt, H), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((T, Bt, H3), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bt, H3), rev, memory_space=pltpu.VMEM),
             # dw_hh/db_hh: every grid step maps to the SAME block and
             # accumulates (sequential TPU grid ⇒ safe read-modify-write)
-            pl.BlockSpec((H, H3), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H3,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bt, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H3), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H3), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bt, H), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, B_pad, H3), f32),
             jax.ShapeDtypeStruct((H, H3), f32),
-            jax.ShapeDtypeStruct((H3,), f32),
+            jax.ShapeDtypeStruct((1, H3), f32),
             jax.ShapeDtypeStruct((B_pad, H), f32),
         ],
+        scratch_shapes=[pltpu.VMEM((Bt, H), f32)],
         interpret=interpret,
     )(*args)
     return (
         dgi[:, :B].astype(gi.dtype),
         dwhh.astype(w_hh.dtype),
-        dbhh.astype(b_hh.dtype),
+        dbhh.reshape(H3).astype(b_hh.dtype),
         dh0[:B].astype(h0.dtype),
     )
 

@@ -15,6 +15,7 @@ class TestBenchSuite:
             "vdn_shared_lbf10",
             "qmix_rware",
             "qmix_smaclite_3m",
+            "idqn_rnn_lbf",
         }
 
     def test_run_config_scaled_down(self, monkeypatch):
