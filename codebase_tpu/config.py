@@ -98,8 +98,19 @@ def _set_path(data: Dict, path: str, value: Any):
 
 
 def load_algorithm_preset(name: str, config_dir: Path = CONFIG_DIR) -> Dict:
-    """Load an algorithm preset, resolving `defaults` inheritance."""
-    path = config_dir / "algorithm" / f"{name}.yaml"
+    """Load an algorithm preset, resolving `defaults` inheritance.
+
+    `name` is normally a preset under `configs/algorithm/`; a path to a
+    user-owned yaml (`+algorithm=./my_algos/ac_new_idea.yaml`) also works —
+    the reference's copy-a-folder extension workflow
+    (`/root/reference/README.md:140-177`) without editing the package.
+    `defaults:` bases in external presets resolve against the package dir."""
+    if name.endswith((".yaml", ".yml")) or "/" in name:
+        path = Path(name)
+        if not path.exists():
+            raise ValueError(f"algorithm preset file not found: {name!r}")
+    else:
+        path = config_dir / "algorithm" / f"{name}.yaml"
     if not path.exists():
         available = sorted(p.stem for p in (config_dir / "algorithm").glob("*.yaml"))
         raise ValueError(f"unknown algorithm {name!r}; available: {available}")

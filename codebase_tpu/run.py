@@ -62,7 +62,7 @@ def main(argv=None):
 
     mesh = mesh_from_config(cfg.get("distributed"))
 
-    algo = get_algorithm(cfg.algorithm.name)
+    algo = get_algorithm(cfg.algorithm.name, entry=cfg.algorithm.get("entry"))
     trace_dir = cfg.get("trace_dir")
     if trace_dir:
         from codebase_tpu.utils.profiling import trace
