@@ -7,8 +7,9 @@ BASELINE.json north-star (target: >= 1,000,000 env-steps/s per chip).
 `vs_baseline` = value / 1e6.
 
 The `suite` field carries every BASELINE.md tracked config (IDQN/LBF,
-IA2C/LBF, VDN+sharing/LBF-10x10, QMIX/RWARE, QMIX/SMAClite-3m) with
-env-steps/s AND MFU derived from XLA's compiled-FLOPs cost analysis
+IA2C/LBF, VDN+sharing/LBF-10x10, QMIX/RWARE, QMIX/SMAClite-3m, recurrent
+IDQN) with env-steps/s, MFU AND HBM-bandwidth utilisation derived from XLA's
+compiled cost analysis
 (see codebase_tpu/bench_suite.py). The reference publishes no numbers and
 has no benchmark suite (`marlbase/utils/loggers.py:69-71` measures FPS at
 runtime and records nothing; BASELINE.md).
