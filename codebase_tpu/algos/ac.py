@@ -266,12 +266,14 @@ def build_train_functions(
         )
 
     def init_state(key) -> ACTrainState:
-        state = _init_state(key)
-        if mesh is not None:
-            from codebase_tpu.parallel.mesh import ac_state_shardings
+        if mesh is None:
+            return _init_state(key)
+        # jit-with-out_shardings construction (valid in multi-process mode,
+        # where device_put cannot reshard across processes)
+        from codebase_tpu.parallel.mesh import ac_state_shardings
 
-            state = jax.device_put(state, ac_state_shardings(state, mesh))
-        return state
+        shapes = jax.eval_shape(_init_state, key)
+        return jax.jit(_init_state, out_shardings=ac_state_shardings(shapes, mesh))(key)
 
     def update(state: ACTrainState, rollout: Rollout, k_upd):
         # (T+1, E, N, D) -> (N, T+1, E, D)

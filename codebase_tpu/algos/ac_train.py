@@ -14,7 +14,7 @@ import jax
 import numpy as np
 
 from codebase_tpu.algos.ac import build_train_functions
-from codebase_tpu.utils.checkpoint import save_checkpoint
+from codebase_tpu.utils.checkpoint import resolve_resume, save_checkpoint
 
 
 def _episode_infos(returns: np.ndarray, lengths: np.ndarray) -> list:
@@ -39,15 +39,19 @@ def main(env, eval_env, logger, time_limit, cfg, mesh=None):
     key, k_init = jax.random.split(key)
     state = init_state(k_init)
 
-    if cfg.get("resume"):
+    run_dir = Path(getattr(logger, "run_dir", "."))
+    resume_path = resolve_resume(cfg.get("resume"), run_dir)
+    if resume_path:
         from codebase_tpu.utils.checkpoint import load_checkpoint
 
-        state = load_checkpoint(cfg.resume, template=state)
+        state = load_checkpoint(resume_path, template=state)
         if mesh is not None:
-            from codebase_tpu.parallel.mesh import ac_state_shardings
+            from codebase_tpu.parallel.mesh import ac_state_shardings, put_global
 
-            state = jax.device_put(state, ac_state_shardings(state, mesh))
-        logger.info(f"Resumed from {cfg.resume} at step {int(state.env_steps)}")
+            state = put_global(state, ac_state_shardings(state, mesh))
+        logger.info(f"Resumed from {resume_path} at step {int(state.env_steps)}")
+    elif cfg.get("resume"):
+        logger.info("resume=auto: no checkpoint found, starting fresh")
 
     total_steps = int(acfg.total_steps)
     # the reference's AC loop logs training-collected stats at eval_interval
@@ -64,41 +68,62 @@ def main(env, eval_env, logger, time_limit, cfg, mesh=None):
     max_steps_per_iter = n_envs * time_limit
     chunk_iters = max(1, (log_interval or 10_000) // max_steps_per_iter)
     chunk_iters = min(chunk_iters, 256)
+    # surface cadence quantisation (see the matching warning in dqn_train.py)
+    if log_interval and log_interval < max_steps_per_iter:
+        logger.warning(
+            f"log_interval={log_interval} is below the {max_steps_per_iter} env steps "
+            f"one training iteration advances ({n_envs} envs x T={time_limit}); "
+            f"effective cadence is ~{max_steps_per_iter} steps"
+        )
 
-    run_dir = Path(getattr(logger, "run_dir", "."))
+    from codebase_tpu.parallel.mesh import fetch_metrics, is_coordinator
+    from codebase_tpu.utils.preemption import PreemptionGuard
+
+    coord = is_coordinator()
     step = int(state.env_steps)
     last_log = last_save = last_video = step
-    while step < total_steps + 1:
-        state, metrics = train_chunk(state, chunk_iters)
-        step = int(state.env_steps)
-        updates = int(state.updates)
+    with PreemptionGuard() as guard:
+        while step < total_steps + 1:
+            state, metrics = train_chunk(state, chunk_iters)
+            step = int(state.env_steps)
+            updates = int(state.updates)
 
-        if log_interval and (step - last_log) >= log_interval:
-            # log the final iteration's episode batch, mirroring the
-            # reference's per-collection infos (`ac/train.py:171-185`)
-            returns = np.asarray(metrics["episode_returns"])[-1]  # (E, N)
-            lengths = np.asarray(metrics["episode_lengths"])[-1]  # (E,)
-            infos = _episode_infos(returns, lengths)
-            infos.append(
-                {k: float(np.asarray(metrics[k])[-1]) for k in ("loss", "actor_loss", "value_loss", "entropy")}
-            )
-            infos.append({"updates": updates, "environment_steps": step})
-            logger.log_metrics(infos)
-            last_log = step
+            if log_interval and (step - last_log) >= log_interval:
+                # log the final iteration's episode batch, mirroring the
+                # reference's per-collection infos (`ac/train.py:171-185`)
+                metrics = fetch_metrics(metrics)
+                returns = np.asarray(metrics["episode_returns"])[-1]  # (E, N)
+                lengths = np.asarray(metrics["episode_lengths"])[-1]  # (E,)
+                infos = _episode_infos(returns, lengths)
+                infos.append(
+                    {k: float(np.asarray(metrics[k])[-1]) for k in ("loss", "actor_loss", "value_loss", "entropy")}
+                )
+                infos.append({"updates": updates, "environment_steps": step})
+                if coord:
+                    logger.log_metrics(infos)
+                last_log = step
 
-        if video_interval and (step - last_video) >= video_interval:
-            from codebase_tpu.utils.video import record_episodes
+            if coord and video_interval and (step - last_video) >= video_interval:
+                from codebase_tpu.utils.video import record_episodes
 
-            record_episodes(
-                eval_env,
-                model.policy(state.params["actor"]),
-                int(acfg.video_frames),
-                run_dir / "videos" / f"step-{step}.mp4",
-            )
-            last_video = step
+                record_episodes(
+                    eval_env,
+                    model.policy(state.params["actor"]),
+                    int(acfg.video_frames),
+                    run_dir / "videos" / f"step-{step}.mp4",
+                )
+                last_video = step
 
-        if save_interval and (step - last_save) >= save_interval:
-            save_checkpoint(run_dir / "checkpoints" / f"model_s{step}.msgpack", state)
-            last_save = step
+            do_save = save_interval and (step - last_save) >= save_interval
+            if guard.triggered:
+                logger.info(f"SIGTERM received: checkpointing at step {step} and exiting")
+                do_save = True
+            if do_save:
+                host_state = fetch_metrics(state)
+                if coord:
+                    save_checkpoint(run_dir / "checkpoints" / f"model_s{step}.msgpack", host_state)
+                last_save = step
+            if guard.triggered:
+                break
 
     return state

@@ -308,12 +308,16 @@ def build_train_functions(
         )
 
     def init_state(key) -> DQNTrainState:
-        state = _init_state(key)
-        if mesh is not None:
-            from codebase_tpu.parallel.mesh import dqn_state_shardings
+        if mesh is None:
+            return _init_state(key)
+        # materialise the state directly at its target shardings: jit with
+        # out_shardings creates global arrays, which is the only valid
+        # construction in multi-process mode (device_put cannot reshard
+        # across processes) and skips a copy in single-process mode
+        from codebase_tpu.parallel.mesh import dqn_state_shardings
 
-            state = jax.device_put(state, dqn_state_shardings(state, mesh))
-        return state
+        shapes = jax.eval_shape(_init_state, key)
+        return jax.jit(_init_state, out_shardings=dqn_state_shardings(shapes, mesh))(key)
 
     def make_update_step(buffer):
         """One sampled gradient update; the (read-only) buffer is closed over
@@ -360,7 +364,9 @@ def build_train_functions(
                 reward_plan, reward_stream, rollout.stat_rewards, rollout.filled
             )
             rollout = rollout.replace(rewards=std_rewards)
-        buffer = replay_add(state.buffer, rollout)
+        buffer = replay_add(
+            state.buffer, rollout, str(acfg.get("replay_slot_reuse", "reference"))
+        )
         env_steps = state.env_steps + rollout.env_steps.astype(jnp.int32)
 
         can_update = (env_steps > int(acfg.training_start)) & buffer.can_sample(batch_size)

@@ -15,7 +15,7 @@ import numpy as np
 
 from codebase_tpu.algos.dqn import build_train_functions
 from codebase_tpu.ops.schedules import epsilon_schedule
-from codebase_tpu.utils.checkpoint import save_checkpoint
+from codebase_tpu.utils.checkpoint import resolve_resume, save_checkpoint
 
 
 def _eval_infos(eval_out) -> list:
@@ -44,17 +44,21 @@ def main(env, eval_env, logger, time_limit, cfg, mesh=None):
     key, k_init = jax.random.split(key)
     state = init_state(k_init)
 
-    if cfg.get("resume"):
+    run_dir = Path(getattr(logger, "run_dir", "."))
+    resume_path = resolve_resume(cfg.get("resume"), run_dir)
+    if resume_path:
         # exact resume: params, target, optimizer, replay, rng, counters —
         # the reference cannot do this (weights-only save, SURVEY.md §5)
         from codebase_tpu.utils.checkpoint import load_checkpoint
 
-        state = load_checkpoint(cfg.resume, template=state)
+        state = load_checkpoint(resume_path, template=state)
         if mesh is not None:
-            from codebase_tpu.parallel.mesh import dqn_state_shardings
+            from codebase_tpu.parallel.mesh import dqn_state_shardings, put_global
 
-            state = jax.device_put(state, dqn_state_shardings(state, mesh))
-        logger.info(f"Resumed from {cfg.resume} at step {int(state.env_steps)}")
+            state = put_global(state, dqn_state_shardings(state, mesh))
+        logger.info(f"Resumed from {resume_path} at step {int(state.env_steps)}")
+    elif cfg.get("resume"):
+        logger.info("resume=auto: no checkpoint found, starting fresh")
 
     total_steps = int(acfg.total_steps)
     log_interval = int(acfg.log_interval) if acfg.get("log_interval") else 0
@@ -71,6 +75,16 @@ def main(env, eval_env, logger, time_limit, cfg, mesh=None):
     max_steps_per_iter = n_envs * time_limit
     chunk_iters = max(1, (min(cadences) if cadences else 10_000) // max_steps_per_iter)
     chunk_iters = min(chunk_iters, 256)
+    # a cadence finer than one iteration's step budget silently quantises to
+    # once-per-iteration; say so up front instead of letting the user discover
+    # results.csv rows arriving at a multiple of the configured interval
+    for label, interval in (("eval_interval", eval_interval), ("log_interval", log_interval)):
+        if interval and interval < max_steps_per_iter:
+            logger.warning(
+                f"{label}={interval} is below the {max_steps_per_iter} env steps "
+                f"one training iteration advances ({n_envs} envs x T={time_limit}); "
+                f"effective cadence is ~{max_steps_per_iter} steps"
+            )
 
     eps_sched = epsilon_schedule(
         acfg.eps_decay_style,
@@ -81,52 +95,69 @@ def main(env, eval_env, logger, time_limit, cfg, mesh=None):
         total_steps,
     )
 
-    run_dir = Path(getattr(logger, "run_dir", "."))
+    from codebase_tpu.parallel.mesh import fetch_metrics, is_coordinator
+    from codebase_tpu.utils.preemption import PreemptionGuard
+
+    coord = is_coordinator()
     step = int(state.env_steps)
     last_log = last_eval = last_save = last_video = step
-    while step < total_steps + 1:
-        state, metrics = train_chunk(state, chunk_iters)
-        step = int(state.env_steps)
-        updates = int(state.updates)
+    with PreemptionGuard() as guard:
+        while step < total_steps + 1:
+            state, metrics = train_chunk(state, chunk_iters)
+            step = int(state.env_steps)
+            updates = int(state.updates)
 
-        # eval rollouts and training metrics have independent cadences but
-        # merge into ONE results.csv row when they coincide (the default
-        # log_interval == eval_interval reproduces the reference's combined
-        # row, `dqn/train.py:315-327`)
-        infos = []
-        do_eval = eval_interval and (step - last_eval) >= eval_interval
-        do_log = log_interval and (step - last_log) >= log_interval
-        if do_eval:
-            key, k_eval = jax.random.split(key)
-            infos.extend(_eval_infos(evaluate(state.params, k_eval)))
-            last_eval = step
-        if do_log:
-            losses = np.asarray(metrics["loss"])
-            if np.any(~np.isnan(losses)):
-                infos.append({"loss": float(np.nanmean(losses))})
-            last_log = step
-        if infos:
-            # every row carries the step/update counters, whichever cadence
-            # fired (one dict so squash_info passes them through unprefixed)
-            counters = {"updates": updates, "environment_steps": step}
+            # eval rollouts and training metrics have independent cadences but
+            # merge into ONE results.csv row when they coincide (the default
+            # log_interval == eval_interval reproduces the reference's combined
+            # row, `dqn/train.py:315-327`)
+            infos = []
+            do_eval = eval_interval and (step - last_eval) >= eval_interval
+            do_log = log_interval and (step - last_log) >= log_interval
+            if do_eval:
+                key, k_eval = jax.random.split(key)
+                # every process runs the (replicated) eval program and the
+                # gather; only the coordinator logs
+                infos.extend(_eval_infos(fetch_metrics(evaluate(state.params, k_eval))))
+                last_eval = step
             if do_log:
-                counters["epsilon"] = float(eps_sched(step))
-            infos.append(counters)
-            logger.log_metrics(infos)
+                losses = np.asarray(fetch_metrics(metrics["loss"]))
+                if np.any(~np.isnan(losses)):
+                    infos.append({"loss": float(np.nanmean(losses))})
+                last_log = step
+            if infos:
+                # every row carries the step/update counters, whichever cadence
+                # fired (one dict so squash_info passes them through unprefixed)
+                counters = {"updates": updates, "environment_steps": step}
+                if do_log:
+                    counters["epsilon"] = float(eps_sched(step))
+                infos.append(counters)
+                if coord:
+                    logger.log_metrics(infos)
 
-        if video_interval and (step - last_video) >= video_interval:
-            from codebase_tpu.utils.video import record_episodes
+            if coord and video_interval and (step - last_video) >= video_interval:
+                from codebase_tpu.utils.video import record_episodes
 
-            record_episodes(
-                eval_env,
-                model.policy(state.params, float(acfg.eps_evaluation)),
-                int(acfg.video_frames),
-                run_dir / "videos" / f"step-{step}.mp4",
-            )
-            last_video = step
+                record_episodes(
+                    eval_env,
+                    model.policy(state.params, float(acfg.eps_evaluation)),
+                    int(acfg.video_frames),
+                    run_dir / "videos" / f"step-{step}.mp4",
+                )
+                last_video = step
 
-        if save_interval and (step - last_save) >= save_interval:
-            save_checkpoint(run_dir / "checkpoints" / f"model_s{step}.msgpack", state)
-            last_save = step
+            do_save = save_interval and (step - last_save) >= save_interval
+            if guard.triggered:
+                logger.info(f"SIGTERM received: checkpointing at step {step} and exiting")
+                do_save = True
+            if do_save:
+                # multi-host: the replay shards are non-addressable from any
+                # one host, so every process joins the gather; one writes
+                host_state = fetch_metrics(state)
+                if coord:
+                    save_checkpoint(run_dir / "checkpoints" / f"model_s{step}.msgpack", host_state)
+                last_save = step
+            if guard.triggered:
+                break
 
     return state

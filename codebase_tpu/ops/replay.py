@@ -81,7 +81,9 @@ def replay_init(
     )
 
 
-def replay_add(state: ReplayState, rollout: Rollout) -> ReplayState:
+def replay_add(
+    state: ReplayState, rollout: Rollout, slot_reuse: str = "reference"
+) -> ReplayState:
     """Insert E padded episodes (time-major rollout -> episode-major slots).
 
     When the buffer size is a multiple of E (enforced by the train builders),
@@ -89,24 +91,65 @@ def replay_add(state: ReplayState, rollout: Rollout) -> ReplayState:
     `dynamic_update_slice` — a straight DMA burst. A scatter with E dynamic
     indices would serialise into per-row updates on TPU (orders of magnitude
     slower); the scatter path remains only as a fallback for odd sizes.
+
+    slot_reuse — what happens to a slot's old contents past the new episode's
+    end (`t > len`):
+
+    - "reference" (default): KEEP them, `filled` tail included. The
+      reference's ring buffer never clears a reused slot — `init_episode`/
+      `add` write only the new episode's indices (`dqn/train.py:66-89`) — so
+      once the buffer wraps, a short episode carries the stale tail of the
+      longer episode that previously occupied its slot, and the loss trains
+      on those spliced old transitions (`filled[t]` stays True from the old
+      occupant). This measurably changes late-training data distribution
+      (episodes shorten as the policy improves) and is required for
+      learning-curve parity with the reference (round-3 gate diagnosis:
+      exact-update parity proven in f64, remaining deficit isolated to this
+      quirk — see BASELINE.md).
+    - "clear": zero the tail (the padded rollout overwrites the full slot) —
+      the "clean" semantics, selectable via `algorithm.replay_slot_reuse`.
     """
+    assert slot_reuse in ("reference", "clear"), slot_reuse
     E = rollout.filled.shape[1]
 
     def em(x):  # time-major (T, E, ...) -> episode-major (E, T, ...)
         return jnp.moveaxis(x, 1, 0)
 
+    fil = em(rollout.filled)  # (E, T)
+    if slot_reuse == "reference":
+        # written-index masks per field family: step fields (T) are written
+        # exactly where filled; boundary fields (T+1: obs, dones, masks) at
+        # index 0 plus one past each filled step
+        written_t = fil > 0
+        written_t1 = jnp.concatenate(
+            [jnp.ones((E, 1), bool), written_t], axis=1
+        )  # (E, T+1)
+    else:
+        written_t = written_t1 = None
+
+    def _written(buf_ndim, val):
+        w = written_t if val.shape[1] == fil.shape[1] else written_t1
+        return w.reshape(w.shape + (1,) * (buf_ndim - 2))
+
     if state.size % E == 0:
         start = state.pos % state.size
 
         def ins(buf, val):
+            val = val.astype(buf.dtype)
             idx = (start,) + (jnp.zeros((), jnp.int32),) * (buf.ndim - 1)
-            return jax.lax.dynamic_update_slice(buf, val.astype(buf.dtype), idx)
+            if slot_reuse == "reference":
+                old = jax.lax.dynamic_slice(buf, idx, val.shape)
+                val = jnp.where(_written(buf.ndim, val), val, old)
+            return jax.lax.dynamic_update_slice(buf, val, idx)
 
     else:
         slots = (state.pos + jnp.arange(E, dtype=jnp.int32)) % state.size
 
         def ins(buf, val):
-            return buf.at[slots].set(val.astype(buf.dtype))
+            val = val.astype(buf.dtype)
+            if slot_reuse == "reference":
+                val = jnp.where(_written(buf.ndim, val), val, buf[slots])
+            return buf.at[slots].set(val)
 
     return state.replace(
         obs=ins(state.obs, em(rollout.obs)),

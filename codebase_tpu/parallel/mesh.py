@@ -66,8 +66,19 @@ def maybe_initialize_distributed(mode: str = "auto") -> bool:
         return True
     if mode == "auto" and not any(h in os.environ for h in _MULTIHOST_HINTS):
         return False
+    # explicit coordinator config (works on any launcher, not just the
+    # clusters jax auto-detects): JAX_COORDINATOR_ADDRESS plus
+    # JAX_NUM_PROCESSES/JAX_PROCESS_ID identify this worker
+    kwargs = {}
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS")
+    if addr and "JAX_NUM_PROCESSES" in os.environ and "JAX_PROCESS_ID" in os.environ:
+        kwargs = dict(
+            coordinator_address=addr,
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+        )
     try:
-        jax.distributed.initialize()
+        jax.distributed.initialize(**kwargs)
     except (ValueError, RuntimeError) as exc:
         if mode == "auto":
             # incomplete multi-host environment — stay single-process
@@ -82,6 +93,49 @@ def maybe_initialize_distributed(mode: str = "auto") -> bool:
         len(jax.devices()),
     )
     return True
+
+
+def is_coordinator() -> bool:
+    """True on the process that owns host-side artifacts (results.csv,
+    config.yaml, checkpoints, videos). With N hosts, letting every process
+    write would race on one results.csv — all filesystem output is gated
+    here (`run.py`, `dqn_train.py`, `ac_train.py`)."""
+    return jax.process_index() == 0
+
+
+def fetch_metrics(tree):
+    """Bring a metrics pytree to the host.
+
+    Single-process: plain device_get. Multi-process: env-sharded leaves span
+    non-addressable devices, so gather them globally first (replicated
+    leaves pass through process_allgather tiled — handled by asking for the
+    global value per leaf). Every process participates (allgather is a
+    collective); only the coordinator should *use* the result.
+    """
+    if jax.process_count() == 1:
+        return jax.device_get(tree)
+    from jax.experimental import multihost_utils
+
+    def _leaf(x):
+        if getattr(x, "is_fully_addressable", True):
+            return jax.device_get(x)
+        return multihost_utils.process_allgather(x, tiled=True)
+
+    return jax.tree.map(_leaf, tree)
+
+
+def put_global(tree, shardings):
+    """Place a host pytree at the given shardings, valid in multi-process
+    mode: every process holds the FULL host value (e.g. a loaded checkpoint)
+    and contributes only its addressable shards. Single-process this is
+    equivalent to `jax.device_put`.
+    """
+
+    def _leaf(x, s):
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(arr.shape, s, lambda idx: arr[idx])
+
+    return jax.tree.map(_leaf, tree, shardings)
 
 
 def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:

@@ -40,14 +40,32 @@ def main(argv=None):
     assert cfg.env.get("time_limit"), "Time limit must be set."
     assert "name" in cfg.algorithm, "select an algorithm with +algorithm=<name>"
 
+    # bring up the multi-host runtime FIRST: process identity decides who owns
+    # the run directory and logger below (N hosts must not race on one
+    # results.csv), and the mesh must span the global device set
+    from codebase_tpu.parallel.mesh import is_coordinator, mesh_from_config
+
+    dist_cfg = cfg.get("distributed")
+    if dist_cfg is not None:
+        from codebase_tpu.parallel.mesh import maybe_initialize_distributed
+
+        maybe_initialize_distributed(dist_cfg.get("initialize", "auto"))
+
     run_dir = cfg.get("run_dir")
     if not run_dir:
         tag = os.urandom(4).hex()
         run_dir = Path("outputs") / str(cfg.env.name).replace(":", "_") / cfg.algorithm.name / tag
     run_dir = Path(run_dir)
-    run_dir.mkdir(parents=True, exist_ok=True)
 
-    logger = make_logger(cfg, run_dir)
+    if is_coordinator():
+        run_dir.mkdir(parents=True, exist_ok=True)
+        logger = make_logger(cfg, run_dir)
+    else:
+        # non-coordinator hosts keep a console-only logger: no results.csv,
+        # config.yaml, checkpoint or video writes (those race across hosts)
+        from codebase_tpu.utils.loggers import Logger
+
+        logger = Logger(cfg.get("project_name", "codebase_tpu"), cfg, run_dir)
     env, eval_env = build_envs(cfg)
 
     if cfg.get("seed") is None:
@@ -58,9 +76,7 @@ def main(argv=None):
         cfg.algorithm.parallel_envs = int(cfg.env.parallel_envs)
 
     # data-parallel mesh (distributed.devices=N|all); single-device when unset
-    from codebase_tpu.parallel.mesh import mesh_from_config
-
-    mesh = mesh_from_config(cfg.get("distributed"))
+    mesh = mesh_from_config(dist_cfg)
 
     algo = get_algorithm(cfg.algorithm.name, entry=cfg.algorithm.get("entry"))
     trace_dir = cfg.get("trace_dir")

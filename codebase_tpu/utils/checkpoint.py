@@ -79,6 +79,25 @@ def load_checkpoint(path, template=None):
     return jax.tree.map(jnp.asarray, restored)
 
 
+def resolve_resume(resume, run_dir):
+    """Resolve the ``resume`` config value to a checkpoint path (or None).
+
+    ``resume=auto`` discovers the latest checkpoint under
+    ``<run_dir>/checkpoints`` and starts fresh when none exists — the
+    relaunch-after-preemption path (SURVEY.md §5; pairs with
+    `utils/preemption.PreemptionGuard`). Any other truthy value is treated
+    as an explicit checkpoint path.
+    """
+    if not resume:
+        return None
+    if str(resume) == "auto":
+        try:
+            return latest_checkpoint(Path(run_dir) / "checkpoints")
+        except FileNotFoundError:
+            return None
+    return Path(resume)
+
+
 def latest_checkpoint(ckpt_dir) -> Path:
     """Find the highest-step `model_s{step}.*`, mirroring the reference's
     latest-checkpoint discovery (`eval.py:45-52`)."""

@@ -53,6 +53,54 @@ class TestReplay:
         assert int(buf.pos) == 12
         assert int(buf.num_stored) == 6
 
+    @staticmethod
+    def _manual_rollout(lengths, T, value):
+        """One-env-per-length rollouts filled with `value` for slot-reuse
+        tests: episode e has `lengths[e]` steps, zero-padded past its end
+        (exactly what `collect_episodes` produces)."""
+        from codebase_tpu.envs.vector import Rollout
+
+        E = len(lengths)
+        t = np.arange(T)
+        filled = (t[:, None] < np.array(lengths)[None, :]).astype(np.float32)
+        dones = np.zeros((T + 1, E), np.float32)
+        dones[np.array(lengths), np.arange(E)] = 1.0
+        obs_written = np.concatenate([np.ones((1, E), np.float32), filled])
+        return Rollout(
+            obs=jnp.asarray(value * obs_written[:, :, None, None] * np.ones((T + 1, E, 1, 1), np.float32)),
+            actions=jnp.asarray((value * filled).astype(np.int32)[:, :, None]),
+            rewards=jnp.asarray(value * filled[:, :, None]),
+            stat_rewards=jnp.asarray(value * filled[:, :, None]),
+            dones=jnp.asarray(dones),
+            filled=jnp.asarray(filled),
+            action_mask=jnp.ones((T + 1, E, 1, 3), jnp.float32),
+        )
+
+    def test_slot_reuse_keeps_stale_tails_like_reference(self):
+        """The reference ring buffer never clears a reused slot
+        (`dqn/train.py:66-89`: `init_episode`/`add` write only the new
+        episode's indices), so a shorter episode keeps the previous
+        occupant's tail — filled flags included. Round-3 gate diagnosis
+        showed this quirk is load-bearing for learning-curve parity; pin it."""
+        T = 5
+        buf = replay_init(1, T, 1, 1, 3, with_mask=False)
+        long = self._manual_rollout([5], T, value=7.0)
+        short = self._manual_rollout([2], T, value=3.0)
+
+        ref = replay_add(replay_add(buf, long), short, "reference")
+        # steps 0-1 are the new episode; steps 2-4 are the stale tail of the
+        # 5-step occupant, with filled still True (the reference quirk)
+        np.testing.assert_allclose(np.asarray(ref.filled[0]), [1, 1, 1, 1, 1])
+        np.testing.assert_allclose(np.asarray(ref.rewards[0, :, 0]), [3, 3, 7, 7, 7])
+        # obs index 0..len written by the new episode, the rest stale
+        np.testing.assert_allclose(np.asarray(ref.obs[0, :, 0, 0]), [3, 3, 3, 7, 7, 7])
+        # dones: new episode's done at index len, stale done at index 5
+        np.testing.assert_allclose(np.asarray(ref.dones[0]), [0, 0, 1, 0, 0, 1])
+
+        clean = replay_add(replay_add(buf, long), short, "clear")
+        np.testing.assert_allclose(np.asarray(clean.filled[0]), [1, 1, 0, 0, 0])
+        np.testing.assert_allclose(np.asarray(clean.rewards[0, :, 0]), [3, 3, 0, 0, 0])
+
 
 class TestLossSemantics:
     """Check the TD math against a numpy transcription of
