@@ -57,6 +57,8 @@ class ACTrainState:
     # persistent per-env reward-standardisation moments (None unless the env
     # stack contains a StandardiseReward marker; see ops/reward_stream.py)
     reward_stream: Optional[RewardStream] = None
+    # traced scalar hyperparameters for vmapped sweeps (see algos/dqn.py)
+    hyper: Optional[Any] = None
 
 
 @dataclass(frozen=True)
@@ -172,15 +174,18 @@ class ACModel:
 
     # ----------------------------------------------------------------- loss
 
-    def compute_returns(self, target_critic, rollout_obs, rewards, dones, ret_rms):
+    def compute_returns(self, target_critic, rollout_obs, rewards, dones, ret_rms, gamma=None):
         """n-step returns from target-critic bootstraps
         (`ac/model.py:190-204`). rollout_obs (N, T+1, B, D); rewards (T, B, N);
-        dones (T+1, B). Returns ((T, B, N) returns, updated rms)."""
+        dones (T+1, B). Returns ((T, B, N) returns, updated rms). `gamma`
+        optionally overrides the static discount with a traced scalar
+        (vmapped hyperparameter sweeps)."""
+        gamma = self.gamma if gamma is None else gamma
         next_value = self.values(target_critic, rollout_obs)  # (T+1, B, N)
         if self.standardise_returns:
             next_value = ret_rms.denormalise(next_value)
         done_n = jnp.repeat(dones[..., None], self.n_agents, axis=-1)
-        returns = nstep_returns(rewards, done_n, next_value, self.n_steps, self.gamma)
+        returns = nstep_returns(rewards, done_n, next_value, self.n_steps, gamma)
         if self.standardise_returns:
             ret_rms = ret_rms.update(returns)
             returns = ret_rms.normalise(returns)
@@ -231,12 +236,23 @@ class ACModel:
 
 
 def build_train_functions(
-    env: Environment, eval_env: Environment, cfg, time_limit: int, mesh=None
+    env: Environment,
+    eval_env: Environment,
+    cfg,
+    time_limit: int,
+    mesh=None,
+    dynamic_hypers: tuple = (),
 ):
     """Construct (model, init_state, train_chunk, evaluate). With a `mesh`,
     the env batch axis of rollouts shards over the data axis; params stay
-    replicated and XLA reduces gradients with psum collectives."""
+    replicated and XLA reduces gradients with psum collectives.
+
+    `dynamic_hypers` lifts scalar hyperparameters ("lr", "gamma", "tau")
+    into the train state for vmapped sweeps — see `algos/dqn.py` for the
+    mechanism and `sweep.py` for the driver."""
     acfg = cfg
+    dynamic_hypers = tuple(dynamic_hypers)
+    assert set(dynamic_hypers) <= {"lr", "gamma", "tau"}, dynamic_hypers
     env_sharding = None
     if mesh is not None:
         from codebase_tpu.parallel.mesh import env_axis_sharding
@@ -246,16 +262,33 @@ def build_train_functions(
     reward_plan = standardisation_plan(env)
     n_envs = int(acfg.get("parallel_envs", 1))
     tau = float(acfg.target_update_interval_or_tau)
-    opt = make_optimizer(acfg.optimizer, float(acfg.lr), acfg.grad_clip)
+    opt = make_optimizer(
+        acfg.optimizer, float(acfg.lr), acfg.grad_clip, inject_lr="lr" in dynamic_hypers
+    )
+    hyper_defaults = {"lr": float(acfg.lr), "gamma": float(acfg.gamma), "tau": tau}
+
+    def _hyper_tree(hyper):
+        if not dynamic_hypers:
+            return None
+        hyper = hyper or {}
+        return {
+            k: jnp.asarray(hyper.get(k, hyper_defaults[k]), jnp.float32)
+            for k in dynamic_hypers
+        }
 
     @jax.jit
-    def _init_state(key) -> ACTrainState:
+    def _init_state(key, hyper=None) -> ACTrainState:
         k_model, k_loop = jax.random.split(key)
         params = model.init_params(k_model)
+        opt_state = opt.init(params)
+        if hyper is not None and "lr" in dynamic_hypers:
+            opt_state = opt_state._replace(
+                hyperparams={**opt_state.hyperparams, "learning_rate": hyper["lr"]}
+            )
         return ACTrainState(
             params=params,
             target_critic=jax.tree.map(jnp.copy, params["critic"]),
-            opt_state=opt.init(params),
+            opt_state=opt_state,
             ret_rms=model.init_rms(),
             key=k_loop,
             env_steps=jnp.asarray(0, jnp.int32),
@@ -263,24 +296,35 @@ def build_train_functions(
             reward_stream=(
                 RewardStream.init(n_envs, env.n_agents) if reward_plan else None
             ),
+            hyper=_hyper_tree(hyper),
         )
 
-    def init_state(key) -> ACTrainState:
+    def init_state(key, hyper=None) -> ACTrainState:
         if mesh is None:
-            return _init_state(key)
+            return _init_state(key, hyper)
         # jit-with-out_shardings construction (valid in multi-process mode,
         # where device_put cannot reshard across processes)
         from codebase_tpu.parallel.mesh import ac_state_shardings
 
-        shapes = jax.eval_shape(_init_state, key)
-        return jax.jit(_init_state, out_shardings=ac_state_shardings(shapes, mesh))(key)
+        shapes = jax.eval_shape(_init_state, key, hyper)
+        return jax.jit(_init_state, out_shardings=ac_state_shardings(shapes, mesh))(
+            key, hyper
+        )
 
     def update(state: ACTrainState, rollout: Rollout, k_upd):
+        hyper = state.hyper or {}
+        gamma_val = hyper.get("gamma")  # None -> static model gamma
+        tau_val = hyper.get("tau", tau)
         # (T+1, E, N, D) -> (N, T+1, E, D)
         obs_agents = jnp.moveaxis(rollout.obs, 2, 0)
         amask_all = jnp.moveaxis(rollout.action_mask, 2, 0)  # (N, T+1, E, A)
         returns, ret_rms = model.compute_returns(
-            state.target_critic, obs_agents, rollout.rewards, rollout.dones, state.ret_rms
+            state.target_critic,
+            obs_agents,
+            rollout.rewards,
+            rollout.dones,
+            state.ret_rms,
+            gamma_val,
         )
         returns = jax.lax.stop_gradient(returns)
         obs_in = obs_agents[:, :-1]
@@ -316,10 +360,12 @@ def build_train_functions(
         # (`ac/model.py:233-239`)
         target_critic = state.target_critic
         if tau > 1.0:
-            do_hard = (state.env_steps % jnp.int32(tau)) == 0
+            do_hard = (state.env_steps % tau_val.astype(jnp.int32)) == 0 if (
+                "tau" in dynamic_hypers
+            ) else (state.env_steps % jnp.int32(tau)) == 0
             target_critic = tree_where(do_hard, params["critic"], target_critic)
         elif tau < 1.0:
-            target_critic = soft_update(target_critic, params["critic"], tau)
+            target_critic = soft_update(target_critic, params["critic"], tau_val)
 
         return state.replace(
             params=params,

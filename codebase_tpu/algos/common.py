@@ -7,27 +7,41 @@ import jax.numpy as jnp
 import optax
 
 
-def make_optimizer(name: str, lr: float, grad_clip=False) -> optax.GradientTransformation:
+def make_optimizer(
+    name: str, lr: float, grad_clip=False, inject_lr: bool = False
+) -> optax.GradientTransformation:
     """Build the optimizer; torch-default hyperparameters.
 
     The reference resolves the optimizer by name from torch.optim
     (`dqn/model.py:66-71`) and clips gradients by global norm before the step
     (`dqn/model.py:169-170`) — here clipping composes into the optax chain.
+
+    With `inject_lr` the learning rate lives in the optimizer STATE
+    (`optax.inject_hyperparams`) instead of being baked into the compiled
+    program — the hook that lets a vmapped sweep train different lr values
+    in one XLA program (`codebase_tpu/sweep.py`). Set the per-instance lr by
+    rewriting `opt_state.hyperparams["learning_rate"]` after `init`.
     """
-    name = name.lower()
-    if name == "adam":
-        opt = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
-    elif name == "rmsprop":
-        opt = optax.rmsprop(lr, decay=0.99, eps=1e-8)
-    elif name == "sgd":
-        opt = optax.sgd(lr)
-    elif name == "adamw":
-        opt = optax.adamw(lr)
-    else:
-        raise ValueError(f"unknown optimizer {name!r}")
-    if grad_clip:
-        return optax.chain(optax.clip_by_global_norm(float(grad_clip)), opt)
-    return opt
+
+    def build(learning_rate):
+        n = name.lower()
+        if n == "adam":
+            opt = optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+        elif n == "rmsprop":
+            opt = optax.rmsprop(learning_rate, decay=0.99, eps=1e-8)
+        elif n == "sgd":
+            opt = optax.sgd(learning_rate)
+        elif n == "adamw":
+            opt = optax.adamw(learning_rate)
+        else:
+            raise ValueError(f"unknown optimizer {name!r}")
+        if grad_clip:
+            return optax.chain(optax.clip_by_global_norm(float(grad_clip)), opt)
+        return opt
+
+    if inject_lr:
+        return optax.inject_hyperparams(build)(learning_rate=lr)
+    return build(lr)
 
 
 def tree_where(cond, a, b):

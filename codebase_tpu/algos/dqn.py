@@ -59,6 +59,10 @@ class DQNTrainState:
     # persistent per-env reward-standardisation moments (None unless the env
     # stack contains a StandardiseReward marker; see ops/reward_stream.py)
     reward_stream: Optional[RewardStream] = None
+    # traced scalar hyperparameters (subset of {"lr","gamma","tau"}) — only
+    # populated by vmapped sweeps so one compiled program trains a whole
+    # (hyperparam x seed) grid (`codebase_tpu/sweep.py`); None in normal runs
+    hyper: Optional[Any] = None
 
 
 @dataclass(frozen=True)
@@ -160,8 +164,13 @@ class DQNModel:
 
     # ------------------------------------------------------------------ loss
 
-    def loss(self, params, target_params, batch, ret_rms):
-        """Episode double-Q TD loss; returns (loss, new_ret_rms)."""
+    def loss(self, params, target_params, batch, ret_rms, gamma=None):
+        """Episode double-Q TD loss; returns (loss, new_ret_rms).
+
+        `gamma` overrides the model's static discount with a traced scalar
+        (vmapped hyperparameter sweeps); None uses `self.gamma`.
+        """
+        gamma = self.gamma if gamma is None else gamma
         obss = batch["obss"]  # (N, T+1, B, D)
         actions = batch["actions"]  # (N, T, B)
         amask = batch["action_mask"]  # (N, T+1, B, A)
@@ -200,7 +209,7 @@ class DQNModel:
                 target_qs = jnp.moveaxis(
                     ret_rms.denormalise(jnp.moveaxis(target_qs, 0, -1)), -1, 0
                 )
-            returns = rewards + self.gamma * target_qs * (1.0 - dones)
+            returns = rewards + gamma * target_qs * (1.0 - dones)
             if self.standardise_returns:
                 ret_rms = ret_rms.update(jnp.moveaxis(returns, 0, -1))
                 returns = jnp.moveaxis(ret_rms.normalise(jnp.moveaxis(returns, 0, -1)), -1, 0)
@@ -224,7 +233,7 @@ class DQNModel:
                 )
             if self.standardise_returns:
                 target_tot = target_tot * jnp.sqrt(ret_rms.var[0]) + ret_rms.mean[0]
-            returns = rewards + self.gamma * target_tot * (1.0 - dones)
+            returns = rewards + gamma * target_tot * (1.0 - dones)
             if self.standardise_returns:
                 ret_rms = ret_rms.update(returns.reshape(-1, 1))
                 returns = (returns - ret_rms.mean[0]) / jnp.sqrt(ret_rms.var[0])
@@ -235,7 +244,12 @@ class DQNModel:
 
 
 def build_train_functions(
-    env: Environment, eval_env: Environment, cfg, time_limit: int, mesh=None
+    env: Environment,
+    eval_env: Environment,
+    cfg,
+    time_limit: int,
+    mesh=None,
+    dynamic_hypers: tuple = (),
 ):
     """Construct (init_state, train_chunk(state, iters), evaluate(state, key)).
 
@@ -243,8 +257,18 @@ def build_train_functions(
     tests and benchmarking. With a `mesh`, the env batch and replay buffer
     shard over the mesh's data axis and XLA inserts the psum gradient sync
     (see `codebase_tpu/parallel/mesh.py`).
+
+    `dynamic_hypers` names scalar hyperparameters (subset of "lr", "gamma",
+    "tau") to read from the train state instead of baking into the program —
+    `init_state(key, hyper={...})` then sets per-instance values, and one
+    compiled program trains a whole vmapped (hyperparam x seed) grid
+    (SURVEY.md §2 "vmap over seed/hyperparam axes"; `sweep.py`). The tau
+    regime (hard >1 vs Polyak <1) stays static from the config default, so
+    swept tau values must live on the same side of 1.0.
     """
     acfg = cfg
+    dynamic_hypers = tuple(dynamic_hypers)
+    assert set(dynamic_hypers) <= {"lr", "gamma", "tau"}, dynamic_hypers
     env_sharding = None
     if mesh is not None:
         from codebase_tpu.parallel.mesh import env_axis_sharding
@@ -260,7 +284,14 @@ def build_train_functions(
     updates_per_collect = acfg.get("updates_per_collect", "auto")
     n_updates = n_envs if updates_per_collect == "auto" else int(updates_per_collect)
     tau = float(acfg.target_update_interval_or_tau)
-    opt = make_optimizer(acfg.optimizer, float(acfg.lr), acfg.grad_clip)
+    opt = make_optimizer(
+        acfg.optimizer, float(acfg.lr), acfg.grad_clip, inject_lr="lr" in dynamic_hypers
+    )
+    hyper_defaults = {
+        "lr": float(acfg.lr),
+        "gamma": float(acfg.gamma),
+        "tau": tau,
+    }
     eps_sched = epsilon_schedule(
         acfg.eps_decay_style,
         float(acfg.eps_decay_over),
@@ -270,14 +301,31 @@ def build_train_functions(
         int(acfg.total_steps),
     )
 
+    def _hyper_tree(hyper):
+        """Normalise a {name: value} dict to jnp scalars for every dynamic
+        hyperparameter (missing names take the config default)."""
+        if not dynamic_hypers:
+            return None
+        hyper = hyper or {}
+        return {
+            k: jnp.asarray(hyper.get(k, hyper_defaults[k]), jnp.float32)
+            for k in dynamic_hypers
+        }
+
     @jax.jit
-    def _init_state(key) -> DQNTrainState:
+    def _init_state(key, hyper=None) -> DQNTrainState:
         k_model, k_loop = jax.random.split(key)
         params = model.init_params(k_model)
+        opt_state = opt.init(params)
+        if hyper is not None and "lr" in dynamic_hypers:
+            # inject_hyperparams stores the lr in the optimizer state
+            opt_state = opt_state._replace(
+                hyperparams={**opt_state.hyperparams, "learning_rate": hyper["lr"]}
+            )
         return DQNTrainState(
             params=params,
             target_params=jax.tree.map(jnp.copy, params),
-            opt_state=opt.init(params),
+            opt_state=opt_state,
             buffer=replay_init(
                 buffer_size,
                 time_limit,
@@ -305,40 +353,47 @@ def build_train_functions(
             reward_stream=(
                 RewardStream.init(n_envs, env.n_agents) if reward_plan else None
             ),
+            hyper=_hyper_tree(hyper),
         )
 
-    def init_state(key) -> DQNTrainState:
+    def init_state(key, hyper=None) -> DQNTrainState:
         if mesh is None:
-            return _init_state(key)
+            return _init_state(key, hyper)
         # materialise the state directly at its target shardings: jit with
         # out_shardings creates global arrays, which is the only valid
         # construction in multi-process mode (device_put cannot reshard
         # across processes) and skips a copy in single-process mode
         from codebase_tpu.parallel.mesh import dqn_state_shardings
 
-        shapes = jax.eval_shape(_init_state, key)
-        return jax.jit(_init_state, out_shardings=dqn_state_shardings(shapes, mesh))(key)
+        shapes = jax.eval_shape(_init_state, key, hyper)
+        return jax.jit(_init_state, out_shardings=dqn_state_shardings(shapes, mesh))(
+            key, hyper
+        )
 
-    def make_update_step(buffer):
-        """One sampled gradient update; the (read-only) buffer is closed over
-        so the scan carry stays small."""
+    def make_update_step(buffer, hyper):
+        """One sampled gradient update; the (read-only) buffer and the traced
+        hyperparameters are closed over so the scan carry stays small."""
+        hyper = hyper or {}
+        gamma_val = hyper.get("gamma")  # None -> model.loss uses its static gamma
+        tau_val = hyper.get("tau", tau)
 
         def update_step(carry, key):
             params, target_params, opt_state, ret_rms, updates, last_tgt = carry
             batch = replay_sample(buffer, key, batch_size)
             (loss, ret_rms), grads = jax.value_and_grad(model.loss, has_aux=True)(
-                params, target_params, batch, ret_rms
+                params, target_params, batch, ret_rms, gamma_val
             )
             upd, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, upd)
             updates = updates + 1
-            # target maintenance (`dqn/model.py:176-196`)
+            # target maintenance (`dqn/model.py:176-196`); the hard-vs-Polyak
+            # regime is static from the config default even when tau is swept
             if tau > 1.0:
-                do_hard = (updates - last_tgt) >= tau
+                do_hard = (updates - last_tgt) >= tau_val
                 target_params = tree_where(do_hard, params, target_params)
                 last_tgt = jnp.where(do_hard, updates, last_tgt)
             elif tau < 1.0:
-                target_params = soft_update(target_params, params, tau)
+                target_params = soft_update(target_params, params, tau_val)
             return (params, target_params, opt_state, ret_rms, updates, last_tgt), loss
 
         return update_step
@@ -373,7 +428,9 @@ def build_train_functions(
 
         def do_updates(operand):
             carry, losses = jax.lax.scan(
-                make_update_step(buffer), operand, jax.random.split(k_upd, n_updates)
+                make_update_step(buffer, state.hyper),
+                operand,
+                jax.random.split(k_upd, n_updates),
             )
             return carry + (jnp.mean(losses),)
 
@@ -403,6 +460,7 @@ def build_train_functions(
             updates=updates,
             last_target_update=last,
             reward_stream=reward_stream,
+            hyper=state.hyper,
         )
         metrics = {
             "loss": loss,

@@ -61,6 +61,17 @@ def make_env(
         env = W.StandardiseReward(env)
     for wname in wrappers or []:
         if wname not in W.NAMED_WRAPPERS:
-            raise ValueError(f"Unknown wrapper: {wname}")
+            # the reference also falls back to `gym.wrappers` by name
+            # (`utils/envs.py:47-54`); the functional API cannot host
+            # arbitrary gym wrappers, so map the ones with equivalents and
+            # fail loudly (naming the supported set) for the rest
+            raise ValueError(
+                f"Unknown wrapper {wname!r}. Supported named wrappers: "
+                f"{sorted(W.NAMED_WRAPPERS)}. Arbitrary gym.wrappers cannot "
+                "be applied to pure-function JAX envs; equivalents are "
+                "mapped by name (e.g. gym's NormalizeReward -> "
+                "StandardiseReward, RecordEpisodeStatistics/ClearInfo are "
+                "always-on/no-op here)."
+            )
         env = W.NAMED_WRAPPERS[wname](env)
     return env

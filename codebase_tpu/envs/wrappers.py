@@ -265,9 +265,22 @@ class FlattenObservation(WrapperBase):
         return self.env.step_batch(state, actions, key)
 
 
+def _identity_wrapper(env):
+    """No-op for reference wrapper names whose effect is built in here:
+    episode statistics are always recorded by `collect_episodes`, and there
+    is no info dict to clear in the functional API."""
+    return env
+
+
 NAMED_WRAPPERS = {
     "CooperativeReward": CooperativeReward,
     "ObserveID": ObserveID,
     "StandardiseReward": StandardiseReward,
     "FlattenObservation": FlattenObservation,
+    # reference/gym.wrappers names with built-in or equivalent behaviour
+    # (`marlbase/utils/envs.py:47-54` resolves names from its own module
+    # then from gym.wrappers; accept the same config surface)
+    "RecordEpisodeStatistics": _identity_wrapper,
+    "ClearInfo": _identity_wrapper,
+    "NormalizeReward": StandardiseReward,
 }

@@ -151,31 +151,62 @@ def locally(combos, yes):
 @click.option("--yes", is_flag=True, help="skip confirmation")
 @click.pass_obj
 def vmapped(combos, output, yes):
-    """Group combinations by hypergroup and train all seeds of each under
-    one vmapped program (TPU-native sweep)."""
+    """Fold sweep axes into vmapped programs (TPU-native sweep).
+
+    Seeds always vmap. Grid axes on scalar non-shape-changing
+    hyperparameters (`sweep.VMAPPABLE_KEYS`: lr, gamma, tau) fold into the
+    SAME vmap, so e.g. an lr grid x seeds trains every combination in one
+    compiled program. Axes that change shapes/static structure remain a
+    python loop of separately compiled groups."""
     from codebase_tpu.config import load_config
-    from codebase_tpu.sweep import run_vmapped_multiseed
+    from codebase_tpu.sweep import VMAPPABLE_KEYS, run_vmapped_multiseed
     from codebase_tpu.utils.compilation_cache import enable as enable_cache
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
     enable_cache()
 
-    groups: dict[str, dict] = {}
+    # group by the residual config (vmappable assignments stripped); each
+    # group carries its list of hyper-variants and the seed set
+    groups: dict[tuple, dict] = {}
     for tokens in combos:
-        grp = next(t.split("=")[1] for t in tokens if t.startswith("+hypergroup"))
         seed = int(next(t.split("=")[1] for t in tokens if t.startswith("seed=")))
         base = [t for t in tokens if not t.startswith(("seed=", "+hypergroup"))]
-        groups.setdefault(grp, {"tokens": base, "seeds": []})["seeds"].append(seed)
+        variant = {}
+        residual = []
+        for t in base:
+            k, _, v = t.partition("=")
+            if k in VMAPPABLE_KEYS:
+                variant[VMAPPABLE_KEYS[k]] = float(v)
+            else:
+                residual.append(t)
+        g = groups.setdefault(
+            tuple(sorted(residual)),
+            {"tokens": residual, "variants": [], "seeds": set()},
+        )
+        if variant not in g["variants"]:
+            g["variants"].append(variant)
+        g["seeds"].add(seed)
 
+    n_units = sum(len(g["variants"]) * len(g["seeds"]) for g in groups.values())
     if not yes:
         click.confirm(
-            f"Run {len(groups)} configurations x {len(next(iter(groups.values()))['seeds'])} vmapped seeds?",
+            f"Run {len(groups)} compiled group(s) covering {n_units} vmapped "
+            "(variant x seed) units?",
             abort=True,
         )
-    for grp, info in sorted(groups.items()):
+    for i, (_, info) in enumerate(sorted(groups.items())):
         cfg = load_config(info["tokens"])
-        click.echo(f"{grp}: {' '.join(info['tokens'])} (seeds {sorted(info['seeds'])})")
-        run_vmapped_multiseed(cfg, sorted(info["seeds"]), Path(output) / grp)
+        variants = info["variants"] if any(info["variants"]) else None
+        click.echo(
+            f"group_{i}: {' '.join(info['tokens'])} "
+            f"(variants {variants or '[default]'}, seeds {sorted(info['seeds'])})"
+        )
+        run_vmapped_multiseed(
+            cfg,
+            sorted(info["seeds"]),
+            Path(output) / f"group_{i}",
+            hyper_variants=variants,
+        )
 
 
 if __name__ == "__main__":

@@ -192,6 +192,13 @@ def main():
     ap.add_argument("--eval-interval", type=int, default=20_000)
     ap.add_argument("--eval-episodes", type=int, default=100)
     ap.add_argument("--out", type=Path, default=REPO / "outputs" / "ref_gate")
+    ap.add_argument(
+        "--save-interval",
+        type=int,
+        default=0,
+        help="checkpoint every N steps (the reference writes torch "
+        "state_dicts to ./checkpoints relative to CWD); 0 disables",
+    )
     args = ap.parse_args()
 
     import numpy as np
@@ -212,6 +219,8 @@ def main():
         eval_episodes=args.eval_episodes,
         log_interval=args.eval_interval,
     )
+    if args.save_interval:
+        common["save_interval"] = args.save_interval
 
     t0 = time.time()
     if args.algo == "idqn":

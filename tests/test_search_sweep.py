@@ -103,3 +103,67 @@ class TestVmappedSweep:
         r0 = pd.read_csv(dirs[0] / "results.csv")["mean_episode_returns"]
         r1 = pd.read_csv(dirs[1] / "results.csv")["mean_episode_returns"]
         assert not np.allclose(r0, r1)
+
+    def test_lr_grid_folds_into_vmap(self, tmp_path):
+        """SURVEY §2 'vmap over seed/hyperparam axes': an lr grid x seeds
+        trains every combination in ONE compiled program, writing per-combo
+        reference-compatible run dirs (VERDICT r2 item 8)."""
+        cfg = load_config(
+            [
+                "+algorithm=idqn",
+                "env.name=matrix-coordination",
+                "env.time_limit=1",
+                "algorithm.total_steps=600",
+                "algorithm.training_start=32",
+                "algorithm.buffer_size=256",
+                "algorithm.batch_size=16",
+                "algorithm.eval_interval=200",
+                "algorithm.eval_episodes=8",
+            ]
+        )
+        cfg.algorithm.parallel_envs = 8
+        variants = [{"lr": 3e-4}, {"lr": 1.0}]  # absurd lr to force divergence
+        dirs = run_vmapped_multiseed(
+            cfg, [0, 1], tmp_path / "grid", hyper_variants=variants
+        )
+        assert len(dirs) == 4  # 2 lr x 2 seeds
+        import pandas as pd
+
+        saved = [yaml.safe_load((d / "config.yaml").read_text()) for d in dirs]
+        assert [s["algorithm"]["lr"] for s in saved] == [3e-4, 3e-4, 1.0, 1.0]
+        assert [s["seed"] for s in saved] == [0, 1, 0, 1]
+        # the lr actually bites: same seed, different lr -> different losses
+        l_small = pd.read_csv(dirs[0] / "results.csv")["loss"].dropna()
+        l_big = pd.read_csv(dirs[2] / "results.csv")["loss"].dropna()
+        assert len(l_small) and len(l_big)
+        assert not np.allclose(l_small, l_big)
+
+    def test_gamma_and_tau_variants(self, tmp_path):
+        cfg = load_config(
+            [
+                "+algorithm=idqn",
+                "env.name=matrix-coordination",
+                "env.time_limit=1",
+                "algorithm.total_steps=400",
+                "algorithm.training_start=32",
+                "algorithm.buffer_size=256",
+                "algorithm.batch_size=16",
+                "algorithm.eval_interval=200",
+                "algorithm.eval_episodes=4",
+            ]
+        )
+        cfg.algorithm.parallel_envs = 8
+        dirs = run_vmapped_multiseed(
+            cfg,
+            [0],
+            tmp_path / "gt",
+            hyper_variants=[{"gamma": 0.9, "tau": 100}, {"gamma": 0.5, "tau": 300}],
+        )
+        assert len(dirs) == 2
+        # tau regime mismatch is rejected loudly
+        import pytest
+
+        with pytest.raises(AssertionError, match="regime"):
+            run_vmapped_multiseed(
+                cfg, [0], tmp_path / "bad", hyper_variants=[{"tau": 0.5}, {"tau": 300}]
+            )
