@@ -126,4 +126,10 @@ def main(env, eval_env, logger, time_limit, cfg, mesh=None):
             if guard.triggered:
                 break
 
+        # final-state checkpoint (see the matching note in dqn_train.py)
+        if save_interval and step > last_save:
+            host_state = fetch_metrics(state)
+            if coord:
+                save_checkpoint(run_dir / "checkpoints" / f"model_s{step}.msgpack", host_state)
+
     return state

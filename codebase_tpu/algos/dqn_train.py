@@ -160,4 +160,12 @@ def main(env, eval_env, logger, time_limit, cfg, mesh=None):
             if guard.triggered:
                 break
 
+        # final-state checkpoint: the interval arithmetic usually leaves the
+        # last save short of total_steps; a checkpointing run should end with
+        # its final params on disk
+        if save_interval and step > last_save:
+            host_state = fetch_metrics(state)
+            if coord:
+                save_checkpoint(run_dir / "checkpoints" / f"model_s{step}.msgpack", host_state)
+
     return state

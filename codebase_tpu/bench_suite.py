@@ -114,9 +114,10 @@ CONFIGS = {
             "algorithm.training_start=0",
         ],
     ),
-    # Recurrent IDQN: BPTT through the GRU over whole episodes — the config
-    # that exercises the fused pallas recurrence (`ops/fused_gru.py`,
-    # `model.fused_rnn=auto` engages it on TPU).
+    # Recurrent IDQN: BPTT through the GRU over whole episodes. batch_size
+    # 1024 sits INSIDE the fused-kernel auto envelope (T=25, 768<=B<=1280 at
+    # H=128 — `models/networks.py:_fused_mode`), so the BPTT updates run the
+    # pallas recurrence on TPU; the rollout (T=1 steps) always scans.
     "idqn_rnn_lbf": dict(
         algo="idqn",
         env="lbforaging:Foraging-8x8-2p-3f-v3",
@@ -124,7 +125,23 @@ CONFIGS = {
         overrides=[
             "algorithm.model.use_rnn=true",
             "algorithm.parallel_envs=8192",
-            "algorithm.batch_size=512",
+            "algorithm.batch_size=1024",
+            "algorithm.updates_per_collect=8",
+            "algorithm.buffer_size=16384",
+            "algorithm.training_start=0",
+        ],
+    ),
+    # Identical sizes with the kernel disabled — BENCH records the
+    # fused-vs-scan delta directly (VERDICT r2 item 4).
+    "idqn_rnn_lbf_scan": dict(
+        algo="idqn",
+        env="lbforaging:Foraging-8x8-2p-3f-v3",
+        time_limit=25,
+        overrides=[
+            "algorithm.model.use_rnn=true",
+            "algorithm.model.fused_rnn=off",
+            "algorithm.parallel_envs=8192",
+            "algorithm.batch_size=1024",
             "algorithm.updates_per_collect=8",
             "algorithm.buffer_size=16384",
             "algorithm.training_start=0",

@@ -219,6 +219,10 @@ class RNNSpec:
     # the TPU backend inside its measured-win envelope (see `_fused_mode`);
     # "on" forces it (still GRU/aligned only), "off" always scans,
     # "interpret" runs the kernel in pallas interpreter mode (CPU tests).
+    # Dtype note: with compute_dtype=bfloat16 the scan path computes GATES in
+    # bf16 while the fused kernel keeps the recurrence in f32 (VMEM-resident
+    # accumulator) — crossing the auto envelope therefore changes numerics
+    # slightly; pin fused_rnn=on/off for bit-stable bf16 training.
     fused_rnn: str = "auto"
 
     def __post_init__(self):
@@ -318,12 +322,23 @@ class RNNSpec:
                 f"fused_rnn=on needs hidden size % 128 == 0 (got {self.hidden_size})"
             )
             return "compiled"
-        # auto: only inside the measured-win envelope (see docstring)
+        # auto: only inside the measured-win envelope (see docstring). The
+        # upper bound is derived from the SAME arithmetic as the kernel's
+        # batch tiling (`ops/fused_gru._batch_tile`): engage only while ONE
+        # batch tile holds the whole batch for the backward working set
+        # (8H streamed f32/row, double-buffered) — beyond that the backward
+        # must tile and XLA's full-width scan measured faster. At H=128 this
+        # reproduces the measured 768..1280 window; at other H it scales
+        # with the VMEM budget instead of growing linearly with H.
+        from codebase_tpu.ops.fused_gru import _batch_tile
+
+        one_tile_bwd = _batch_tile(B, self.hidden_size, 8 * self.hidden_size) >= B
         if (
             jax.default_backend() == "tpu"
             and aligned
             and 2 <= T <= 32
-            and 768 <= B <= 10 * self.hidden_size
+            and B >= 6 * self.hidden_size
+            and one_tile_bwd
         ):
             return "compiled"
         return False

@@ -16,6 +16,7 @@ class TestBenchSuite:
             "qmix_rware",
             "qmix_smaclite_3m",
             "idqn_rnn_lbf",
+            "idqn_rnn_lbf_scan",
         }
 
     def test_run_config_scaled_down(self, monkeypatch):
