@@ -209,5 +209,120 @@ def vmapped(combos, output, yes):
         )
 
 
+@run.command()
+@click.option("--output", default="sweeps_out", show_default=True)
+@click.option("--budget", default=10, show_default=True, help="number of configurations to evaluate")
+@click.option("--metric", default="mean_episode_returns", show_default=True)
+@click.option("--tail", default=5, show_default=True, help="final results.csv rows averaged into the objective")
+@click.option("--bo-seed", default=0, show_default=True)
+@click.option("--yes", is_flag=True, help="skip confirmation")
+@click.pass_obj
+def bayes(combos, output, budget, metric, tail, bo_seed, yes):
+    """Bayesian optimisation over the sweep spec (GP + expected improvement).
+
+    The reference's equivalent is the hydra-ax-sweeper backend
+    (`requirements.txt:10`). Candidates are the spec's grid; instead of
+    exhausting it, a Gaussian process proposes the next configuration and
+    stops at --budget evaluations. Each evaluation trains ALL seeds of the
+    configuration vmapped in one program; the objective is the seed-mean of
+    the final `--metric` (tail-averaged)."""
+    import json
+
+    import numpy as np
+
+    from codebase_tpu.bayes import optimise
+    from codebase_tpu.config import load_config
+    from codebase_tpu.sweep import run_vmapped_multiseed
+    from codebase_tpu.utils.compilation_cache import enable as enable_cache
+
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
+    enable_cache()
+
+    seeds = sorted(
+        {int(t.split("=")[1]) for c in combos for t in c if t.startswith("seed=")}
+    )
+    combo_dicts = {}
+    for tokens in combos:
+        d = {}
+        for t in tokens:
+            if t.startswith(("seed=", "+hypergroup")):
+                continue
+            k, _, v = t.partition("=")
+            d[k] = v
+        combo_dicts[tuple(sorted(d.items()))] = d
+    candidates = list(combo_dicts.values())
+    keys = sorted({k for c in candidates for k in c})
+    axes = {
+        k: sorted({c[k] for c in candidates}, key=_axis_sort_key)
+        for k in keys
+        if len({c[k] for c in candidates}) > 1
+    }
+    # typed axes for the encoder (numeric strings -> floats)
+    axes_typed = {k: [_parse_scalar(v) for v in vs] for k, vs in axes.items()}
+
+    if not yes:
+        click.confirm(
+            f"Bayesian-optimise over {len(candidates)} candidates "
+            f"({budget} evaluations x {len(seeds)} vmapped seeds)?",
+            abort=True,
+        )
+
+    out_root = Path(output)
+    trial = {"i": 0}
+
+    def evaluate(combo):
+        import pandas as pd
+
+        trial["i"] += 1
+        tokens = [f"{k}={v}" for k, v in combo.items()]
+        cfg = load_config(tokens)
+        d = out_root / f"trial_{trial['i']:03d}"
+        click.echo(f"[bayes {trial['i']}/{budget}] {' '.join(tokens)}")
+        dirs = run_vmapped_multiseed(cfg, seeds, d)
+        finals = []
+        for sd in dirs:
+            df = pd.read_csv(sd / "results.csv")
+            vals = df[metric].dropna()
+            finals.append(float(vals.tail(tail).mean()))
+        y = float(np.mean(finals))
+        click.echo(f"[bayes {trial['i']}/{budget}] objective {y:.4f}")
+        return y
+
+    # only the varying axes feed the GP; constants ride along in evaluate
+    bo_candidates = [{k: _parse_scalar(c[k]) for k in axes} for c in candidates]
+    raw_by_enc = {tuple(sorted(b.items())): c for b, c in zip(bo_candidates, candidates)}
+
+    result = optimise(
+        bo_candidates,
+        axes_typed,
+        lambda b: evaluate(raw_by_enc[tuple(sorted(b.items()))]),
+        budget,
+        seed=bo_seed,
+    )
+    summary = {
+        "best": raw_by_enc[tuple(sorted(result["best"].items()))],
+        "best_value": result["best_value"],
+        "evaluations": len(result["history"]),
+        "candidates": len(candidates),
+        "metric": metric,
+    }
+    out_root.mkdir(parents=True, exist_ok=True)
+    (out_root / "bayes_result.json").write_text(json.dumps(summary, indent=2))
+    click.echo(json.dumps(summary))
+
+
+def _parse_scalar(v: str):
+    try:
+        f = float(v)
+        return int(f) if f.is_integer() and "." not in str(v) and "e" not in str(v).lower() else f
+    except (TypeError, ValueError):
+        return v
+
+
+def _axis_sort_key(v):
+    p = _parse_scalar(v)
+    return (0, p, "") if isinstance(p, (int, float)) else (1, 0, str(p))
+
+
 if __name__ == "__main__":
     cli()
