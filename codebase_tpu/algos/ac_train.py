@@ -49,7 +49,7 @@ def main(env, eval_env, logger, time_limit, cfg, mesh=None):
             from codebase_tpu.parallel.mesh import ac_state_shardings, put_global
 
             state = put_global(state, ac_state_shardings(state, mesh))
-        logger.info(f"Resumed from {resume_path} at step {int(state.env_steps)}")
+        logger.info(f"Resumed from {resume_path} at step {int(jax.device_get(state.env_steps))}")
     elif cfg.get("resume"):
         logger.info("resume=auto: no checkpoint found, starting fresh")
 
@@ -80,13 +80,13 @@ def main(env, eval_env, logger, time_limit, cfg, mesh=None):
     from codebase_tpu.utils.preemption import PreemptionGuard
 
     coord = is_coordinator()
-    step = int(state.env_steps)
+    step = int(jax.device_get(state.env_steps))
     last_log = last_save = last_video = step
     with PreemptionGuard() as guard:
         while step < total_steps + 1:
             state, metrics = train_chunk(state, chunk_iters)
-            step = int(state.env_steps)
-            updates = int(state.updates)
+            # one device_get for both counters (see the note in dqn_train.py)
+            step, updates = map(int, jax.device_get((state.env_steps, state.updates)))
 
             if log_interval and (step - last_log) >= log_interval:
                 # log the final iteration's episode batch, mirroring the

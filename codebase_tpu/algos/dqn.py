@@ -39,7 +39,12 @@ from codebase_tpu.models.distributions import MASK_NEG
 from codebase_tpu.models.mixers import QMixer
 from codebase_tpu.models.multi_agent import MultiAgentNetwork
 from codebase_tpu.envs.wrappers import standardisation_plan
-from codebase_tpu.ops.replay import ReplayState, replay_add, replay_init, replay_sample
+from codebase_tpu.ops.replay import (
+    ReplayState,
+    replay_add,
+    replay_init,
+    replay_sample_many,
+)
 from codebase_tpu.ops.reward_stream import RewardStream, apply_plan
 from codebase_tpu.ops.running_stats import RunningMeanStd
 from codebase_tpu.ops.schedules import epsilon_schedule
@@ -370,16 +375,18 @@ def build_train_functions(
             key, hyper
         )
 
-    def make_update_step(buffer, hyper):
-        """One sampled gradient update; the (read-only) buffer and the traced
-        hyperparameters are closed over so the scan carry stays small."""
+    def make_update_step(hyper):
+        """One gradient update on a pre-gathered batch; the traced
+        hyperparameters are closed over so the scan carry stays small. The
+        batch arrives as scan xs (gathered once for all updates by
+        `replay_sample_many` — per-update random gathers serialise into
+        row DMAs on TPU and dominated the QMIX update cost)."""
         hyper = hyper or {}
         gamma_val = hyper.get("gamma")  # None -> model.loss uses its static gamma
         tau_val = hyper.get("tau", tau)
 
-        def update_step(carry, key):
+        def update_step(carry, batch):
             params, target_params, opt_state, ret_rms, updates, last_tgt = carry
-            batch = replay_sample(buffer, key, batch_size)
             (loss, ret_rms), grads = jax.value_and_grad(model.loss, has_aux=True)(
                 params, target_params, batch, ret_rms, gamma_val
             )
@@ -427,10 +434,10 @@ def build_train_functions(
         can_update = (env_steps > int(acfg.training_start)) & buffer.can_sample(batch_size)
 
         def do_updates(operand):
+            # ONE gather for all updates (None mask leaves scan through as None)
+            batches = replay_sample_many(buffer, k_upd, batch_size, n_updates)
             carry, losses = jax.lax.scan(
-                make_update_step(buffer, state.hyper),
-                operand,
-                jax.random.split(k_upd, n_updates),
+                make_update_step(state.hyper), operand, batches
             )
             return carry + (jnp.mean(losses),)
 

@@ -56,7 +56,7 @@ def main(env, eval_env, logger, time_limit, cfg, mesh=None):
             from codebase_tpu.parallel.mesh import dqn_state_shardings, put_global
 
             state = put_global(state, dqn_state_shardings(state, mesh))
-        logger.info(f"Resumed from {resume_path} at step {int(state.env_steps)}")
+        logger.info(f"Resumed from {resume_path} at step {int(jax.device_get(state.env_steps))}")
     elif cfg.get("resume"):
         logger.info("resume=auto: no checkpoint found, starting fresh")
 
@@ -99,13 +99,15 @@ def main(env, eval_env, logger, time_limit, cfg, mesh=None):
     from codebase_tpu.utils.preemption import PreemptionGuard
 
     coord = is_coordinator()
-    step = int(state.env_steps)
+    step = int(jax.device_get(state.env_steps))
     last_log = last_eval = last_save = last_video = step
     with PreemptionGuard() as guard:
         while step < total_steps + 1:
             state, metrics = train_chunk(state, chunk_iters)
-            step = int(state.env_steps)
-            updates = int(state.updates)
+            # ONE device_get for both counters: `int(traced_output)` takes a
+            # pathological slow path on tunneled backends (measured ~50s for
+            # the first conversion on axon), device_get never does
+            step, updates = map(int, jax.device_get((state.env_steps, state.updates)))
 
             # eval rollouts and training metrics have independent cadences but
             # merge into ONE results.csv row when they coincide (the default

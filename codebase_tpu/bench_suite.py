@@ -193,15 +193,17 @@ def run_config(key: str, windows: int = 3, window_iters: int = 16) -> dict:
     bytes_per_chunk = float(costs.get("bytes accessed", 0.0))
 
     state = chunk(state)  # warmup execution
-    s0 = int(state.env_steps)  # int() forces a real device sync (axon tunnel)
+    # device_get (NOT int()): int() on a fresh traced output takes a ~50s
+    # slow path over the axon tunnel; device_get syncs cleanly
+    s0 = int(jax.device_get(state.env_steps))
 
     best_rate, best_dt = 0.0, float("inf")
     for _ in range(windows):
         t0 = time.time()
         state = chunk(state)
-        steps = int(state.env_steps) - s0
+        steps = int(jax.device_get(state.env_steps)) - s0
         dt = time.time() - t0
-        s0 = int(state.env_steps)
+        s0 = steps + s0
         if steps / dt > best_rate:
             best_rate, best_dt = steps / dt, dt
 

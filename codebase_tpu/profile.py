@@ -84,8 +84,7 @@ def main(argv=None):
 
     # warm up outside the timed region
     state = chunk(state)
-    s0 = int(state.env_steps)
-    u0 = int(state.updates)
+    s0, u0 = map(int, jax.device_get((state.env_steps, state.updates)))
 
     timer = profiling.StepTimer()
     timer.mark(s0)
@@ -95,12 +94,12 @@ def main(argv=None):
         for _ in range(chunks):
             with profiling.annotate("train_chunk"):
                 state = chunk(state)
-        steps = int(state.env_steps)  # device sync (also stops the timer)
+        steps = int(jax.device_get(state.env_steps))  # device sync (stops the timer)
     dt = time.time() - t0
     timer.mark(steps)
 
     report["env_steps_per_s"] = round(timer.rate(), 1)
-    report["updates_per_s"] = round((int(state.updates) - u0) / dt, 2)
+    report["updates_per_s"] = round((int(jax.device_get(state.updates)) - u0) / dt, 2)
     if "chunk_flops" in report:
         report["tflops_per_s"] = round(report["chunk_flops"] * chunks / dt / 1e12, 4)
     dev_mem = profiling.device_memory_stats()

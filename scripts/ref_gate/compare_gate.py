@@ -10,10 +10,12 @@ Inputs (produced by the two gate harnesses):
 
 For each algorithm it reports, per seed, the final return (mean of the last
 `--tail` eval rows at or below the largest step both sides reached) and a
-seeds-vs-seeds verdict: the gate passes when the framework's mean final
-return falls within the reference's mean +/- max(2*std, --abs-slack) (and
-vice versa — the bands must overlap). North star: BASELINE.json "returns
-within seed variance of reference" on Foraging-8x8-2p-3f-v3 T=25.
+seeds-vs-seeds verdict. The PASS criterion is strict (round-3, no slack
+floor by default): |fw_mean - ref_mean| <= max(2*ref_std, --abs-slack),
+with --abs-slack defaulting to 0. A `band_overlap` diagnostic
+(|delta| <= 2*ref_std + 2*fw_std) is reported alongside. North star:
+BASELINE.json "returns within seed variance of reference" on
+Foraging-8x8-2p-3f-v3 T=25.
 
 Usage:
     python scripts/ref_gate/compare_gate.py \
@@ -81,9 +83,10 @@ def compare(algo: str, ref: dict, fw: dict, tail: int, abs_slack: float):
     fw_f = {s: _final_return(c, at, tail) for s, c in fw.items()}
     rm, rs = _mean_std(list(ref_f.values()))
     fm, fs = _mean_std(list(fw_f.values()))
-    band_r = max(2 * rs, abs_slack)
-    band_f = max(2 * fs, abs_slack)
-    ok = (abs(fm - rm) <= band_r) or (abs(fm - rm) <= band_f)
+    # strict: the framework mean must sit within 2 sigma of the REFERENCE
+    # seeds (abs_slack, default 0, only widens a degenerate zero-variance band)
+    ok = abs(fm - rm) <= max(2 * rs, abs_slack)
+    overlap = abs(fm - rm) <= 2 * rs + 2 * fs
     return {
         "algo": algo,
         "compared_at_step": at,
@@ -96,6 +99,7 @@ def compare(algo: str, ref: dict, fw: dict, tail: int, abs_slack: float):
         "fw_mean": round(fm, 4),
         "fw_std": round(fs, 4),
         "within_seed_variance": bool(ok),
+        "band_overlap": bool(overlap),
     }
 
 
@@ -108,10 +112,9 @@ def main():
     ap.add_argument(
         "--abs-slack",
         type=float,
-        default=0.1,
-        help="minimum half-width of the acceptance band (returns are in [0,1] "
-        "fractions of available food on LBF; 2*std underestimates seed "
-        "variance at n=3)",
+        default=0.0,
+        help="minimum half-width of the acceptance band; 0 (default) = the "
+        "strict 2*ref_std criterion with no slack floor",
     )
     args = ap.parse_args()
 
