@@ -201,8 +201,9 @@ def run_config(key: str, windows: int = 3, window_iters: int = 16) -> dict:
     for _ in range(windows):
         t0 = time.time()
         state = chunk(state)
-        steps = int(jax.device_get(state.env_steps)) - s0
+        jax.block_until_ready(state)  # timing sync
         dt = time.time() - t0
+        steps = int(jax.device_get(state.env_steps)) - s0  # fetched UNtimed
         s0 = steps + s0
         if steps / dt > best_rate:
             best_rate, best_dt = steps / dt, dt

@@ -11,11 +11,18 @@ pattern and sharding propagation — not absolute speed):
 
 Prints one JSON line per mesh size with steps/s and efficiency vs the
 1-device run scaled linearly.
+
+`--processes 2` additionally exercises the MULTI-HOST path: the script
+relaunches itself as 2 OS processes (4 faked devices each on the CPU
+backend) that form one global 8-device mesh via jax.distributed — the
+DCN-style topology, not just the single-process virtual mesh. Process 0
+prints the JSON line.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -41,18 +48,83 @@ def measure(n_devices: int, envs_per_device: int = 2048, iters: int = 4, reps: i
     )
     state = init_state(jax.random.PRNGKey(0))
     state, _ = train_chunk(state, iters)
-    s0 = int(state.env_steps)
+    jax.block_until_ready(state.params)
+    s0 = int(jax.device_get(state.env_steps))
     t0 = time.time()
     for _ in range(reps):
         state, _ = train_chunk(state, iters)
-    steps = int(state.env_steps) - s0
-    return steps / (time.time() - t0)
+    jax.block_until_ready(state.params)
+    dt = time.time() - t0
+    steps = int(jax.device_get(state.env_steps)) - s0
+    return steps / dt
+
+
+def run_multiprocess(n_procs: int, devices_per_proc: int = 4):
+    """Relaunch this script as n_procs jax.distributed workers on the CPU
+    backend and measure one global-mesh training rate (the multi-host/DCN
+    topology; SURVEY §2 distributed row, VERDICT r2 item 10)."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    procs = []
+    for i in range(n_procs):
+        env = dict(os.environ)
+        env.update(
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS=f"--xla_force_host_platform_device_count={devices_per_proc}",
+            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+            JAX_NUM_PROCESSES=str(n_procs),
+            JAX_PROCESS_ID=str(i),
+        )
+        procs.append(
+            subprocess.Popen([sys.executable, __file__, "--worker"], env=env)
+        )
+    rc = [p.wait() for p in procs]
+    assert all(r == 0 for r in rc), rc
+
+
+def worker():
+    from codebase_tpu.parallel.mesh import maybe_initialize_distributed
+
+    assert maybe_initialize_distributed("always")
+    n = len(jax.devices())
+    rate = measure(n)
+    if jax.process_index() == 0:
+        print(
+            json.dumps(
+                {
+                    "metric": "idqn_weak_scaling_multihost",
+                    "processes": jax.process_count(),
+                    "devices": n,
+                    "value": round(rate, 1),
+                    "unit": "env-steps/s",
+                }
+            ),
+            flush=True,
+        )
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--processes", type=int, default=0, help="spawn N jax.distributed workers (multi-host path)")
+    ap.add_argument("--worker", action="store_true", help=argparse.SUPPRESS)
+    args = ap.parse_args()
+
     from codebase_tpu.utils.compilation_cache import enable as enable_cache
 
     enable_cache()
+    if args.worker:
+        worker()
+        return
+    if args.processes:
+        run_multiprocess(args.processes)
+        return
     n = len(jax.devices())
     sizes = [1] + [s for s in (2, 4, 8, 16, 32) if s <= n]
     base = None
