@@ -69,6 +69,11 @@ CONFIGS = {
             "algorithm.updates_per_collect=8",
             "algorithm.buffer_size=65536",
             "algorithm.training_start=0",
+            # throughput configs use the clean insert: the default
+            # reference-quirk slot reuse (stale-tail merge, ops/replay.py)
+            # re-reads every overwritten slot block per iteration, which
+            # only matters for wide-collect benches, not the parity gate
+            "algorithm.replay_slot_reuse=clear",
         ],
     ),
     "ia2c_lbf": dict(
@@ -88,6 +93,7 @@ CONFIGS = {
             "algorithm.updates_per_collect=8",
             "algorithm.buffer_size=32768",
             "algorithm.training_start=0",
+            "algorithm.replay_slot_reuse=clear",  # see idqn_lbf note
         ],
     ),
     "qmix_rware": dict(
@@ -100,6 +106,7 @@ CONFIGS = {
             "algorithm.updates_per_collect=8",
             "algorithm.buffer_size=8192",
             "algorithm.training_start=0",
+            "algorithm.replay_slot_reuse=clear",  # see idqn_lbf note
         ],
     ),
     "qmix_smaclite_3m": dict(
@@ -112,6 +119,7 @@ CONFIGS = {
             "algorithm.updates_per_collect=8",
             "algorithm.buffer_size=16384",
             "algorithm.training_start=0",
+            "algorithm.replay_slot_reuse=clear",  # see idqn_lbf note
         ],
     ),
     # Recurrent IDQN: BPTT through the GRU over whole episodes. batch_size
@@ -129,6 +137,7 @@ CONFIGS = {
             "algorithm.updates_per_collect=8",
             "algorithm.buffer_size=16384",
             "algorithm.training_start=0",
+            "algorithm.replay_slot_reuse=clear",  # see idqn_lbf note
         ],
     ),
     # Identical sizes with the kernel disabled — BENCH records the
@@ -145,6 +154,7 @@ CONFIGS = {
             "algorithm.updates_per_collect=8",
             "algorithm.buffer_size=16384",
             "algorithm.training_start=0",
+            "algorithm.replay_slot_reuse=clear",  # see idqn_lbf note
         ],
     ),
 }
