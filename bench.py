@@ -14,9 +14,11 @@ compiled cost analysis
 has no benchmark suite (`marlbase/utils/loggers.py:69-71` measures FPS at
 runtime and records nothing; BASELINE.md).
 
-Timing notes (axon tunnel): int(scalar) forces a real device sync
-(block_until_ready does not reliably block through the tunnel); best of
-three 16-iteration windows absorbs the ±15% tunnel latency noise.
+Timing notes (axon tunnel): windows are timed with jax.block_until_ready on
+the full train state; counters are fetched with jax.device_get OUTSIDE the
+timed region. Never time through `int(traced_output)` — its first conversion
+takes a pathological ~50s path over the tunnel (measured round 3). Best of
+three 16-iteration windows absorbs the tunnel latency noise.
 """
 
 from __future__ import annotations
