@@ -109,11 +109,18 @@ class Environment:
 
         return jax.vmap(self.reset)(jax.random.split(key, n))
 
-    def step_batch(self, state, actions, key):
+    def step_batch(self, state, actions, key, current_mask=None):
         """(batched state, (E, N) int32, key) -> (batched state, TimeStep
-        with leading env axis E)."""
+        with leading env axis E).
+
+        `current_mask` ((E, N, A), optional): the availability mask of
+        `state`, when the caller already carries it (rollout loops hold the
+        previous TimeStep). Envs MAY consume it to skip recomputing
+        availability for action-validity checks; it never changes results.
+        The vmap fallback ignores it."""
         import jax
 
+        del current_mask
         return jax.vmap(self.step)(state, actions, jax.random.split(key, actions.shape[0]))
 
     # --- optional helpers -------------------------------------------------

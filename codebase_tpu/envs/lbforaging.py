@@ -452,10 +452,11 @@ class LevelBasedForaging(Environment):
             t=jnp.zeros((E,), jnp.int32),
         )
 
-    def step_batch(self, state: LBFBatchState, actions, key):
+    def step_batch(self, state: LBFBatchState, actions, key, current_mask=None):
         """E-last batched transition — exactly `vmap(self.step)` semantics
         (validated against it in tests/test_lbforaging.py), written with the
         env axis trailing so every op vectorises over full TPU lanes."""
+        del current_mask  # maskless env
         if self.grid_obs:
             return Environment.step_batch(self, state, actions, key)
         del key  # dynamics are deterministic given actions

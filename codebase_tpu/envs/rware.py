@@ -243,9 +243,10 @@ class RWARE(Environment):
         )
         return bstate, ts
 
-    def step_batch(self, state: RWAREBatchState, actions, key):
+    def step_batch(self, state: RWAREBatchState, actions, key, current_mask=None):
         """E-last batched transition, exactly `vmap(self.step)` with the
         harness's `split(key, E)` key stream (pinned by tests)."""
+        del current_mask  # maskless env
         N, S = self.num_agents, self.n_shelves
         R, C = self.rows, self.cols
         a = jnp.asarray(actions, jnp.int32).T  # (N, E)

@@ -253,26 +253,55 @@ class SmacLiteCombat(Environment):
         states = jax.vmap(self._reset_state)(jax.random.split(key, n))
         bstate = self.to_batch(states)
         zeros = jnp.zeros((n, self.n_agents), jnp.float32)
+        obs, mask = self._outputs_batch(bstate)
         ts = TimeStep(
-            obs=self._make_obs_batch(bstate),
+            obs=obs,
             reward=zeros,
             stat_reward=zeros,
             terminated=jnp.zeros((n,), bool),
             truncated=jnp.zeros((n,), bool),
-            action_mask=self._avail_actions_batch(bstate),
+            action_mask=mask,
         )
         return bstate, ts
 
     def _avail_actions_batch(self, state: CombatBatchState):
         """(E, N, A) masks, E-last compute — same rules as `avail_actions`."""
+        return self._outputs_batch(state)[1]
+
+    def _outputs_batch(self, state: CombatBatchState):
+        """(obs (E, N, D), mask (E, N, A)) in ONE traced function.
+
+        The observation's enemy in-range feature and the mask's attack
+        availability are the same viewer->target geometry; computing both
+        here shares the relative-coordinate / Chebyshev-distance arrays and
+        the alive/visibility predicates instead of materialising them twice
+        per rollout step (round-3 profiling: the SMAClite lane is
+        rollout-bound once updates amortise over enough envs)."""
         N, M = self.n_agents, self._n_e
         E = state.ally_r.shape[1]
+        scale_r, scale_c = float(self.rows), float(self.cols)
         alive = state.ally_hp > 0  # (N, E)
         e_alive = state.enemy_hp > 0  # (M, E)
         a_range = jnp.asarray(self._stats(self.a_types, 2), jnp.int32)[:, None]
         healer = jnp.asarray(self._stats(self.a_types, 4).astype(bool))[:, None]
         a_maxhp = jnp.asarray(self._stats(self.a_types, 0), jnp.float32)[:, None]
+        e_maxhp = jnp.asarray(self._stats(self.e_types, 0), jnp.float32)[:, None]
+        tb = self.type_bits
+        a_onehot = jnp.asarray(self._type_onehot(self.a_types))  # (N, tb)
+        e_onehot = jnp.asarray(self._type_onehot(self.e_types))  # (M, tb)
 
+        # ------------------------------------------------ shared geometry
+        # enemies: viewer axis N, target axis M
+        rel_er = (state.enemy_r[None] - state.ally_r[:, None, :]).astype(jnp.float32)
+        rel_ec = (state.enemy_c[None] - state.ally_c[:, None, :]).astype(jnp.float32)
+        dist_e = jnp.maximum(jnp.abs(rel_er), jnp.abs(rel_ec))  # (N, M, E)
+        in_attack_range = e_alive[None] & (dist_e <= a_range[:, None, :])  # (N, M, E)
+        # allies: viewer axis N, target axis N'
+        rel_ar = (state.ally_r[None] - state.ally_r[:, None, :]).astype(jnp.float32)
+        rel_ac = (state.ally_c[None] - state.ally_c[:, None, :]).astype(jnp.float32)
+        dist_a = jnp.maximum(jnp.abs(rel_ar), jnp.abs(rel_ac))  # (N, N, E)
+
+        # ------------------------------------------------------------ mask
         move_ok = jnp.stack(
             [
                 state.ally_r - 1 >= 0,  # N
@@ -282,26 +311,14 @@ class SmacLiteCombat(Environment):
             ],
             axis=1,
         )  # (N, 4, E)
-
         n_targets = self.n_actions - 6
-        dist_e = jnp.maximum(
-            jnp.abs(state.ally_r[:, None, :] - state.enemy_r[None]),
-            jnp.abs(state.ally_c[:, None, :] - state.enemy_c[None]),
-        )  # (N, M, E)
-        attack_ok = e_alive[None] & (dist_e <= a_range[:, None, :])  # (N, M, E)
-        attack_ok = jnp.pad(attack_ok, ((0, 0), (0, n_targets - M), (0, 0)))
-
+        attack_ok = jnp.pad(in_attack_range, ((0, 0), (0, n_targets - M), (0, 0)))
         if self._has_medivac:
-            dist_a = jnp.maximum(
-                jnp.abs(state.ally_r[:, None, :] - state.ally_r[None]),
-                jnp.abs(state.ally_c[:, None, :] - state.ally_c[None]),
-            )  # (N, N, E)
             damaged = alive & (state.ally_hp < a_maxhp)  # (N, E)
             not_self = ~jnp.eye(N, dtype=bool)[:, :, None]
             heal_ok = damaged[None] & (dist_a <= a_range[:, None, :]) & not_self
             heal_ok = jnp.pad(heal_ok, ((0, 0), (0, n_targets - N), (0, 0)))
             attack_ok = jnp.where(healer[:, None, :], heal_ok, attack_ok)
-
         mask = jnp.concatenate(
             [
                 (~alive)[:, None, :],  # noop only when dead
@@ -311,11 +328,75 @@ class SmacLiteCombat(Environment):
             ],
             axis=1,
         ).astype(jnp.float32)  # (N, A, E)
-        return jnp.transpose(mask, (2, 0, 1))  # (E, N, A)
 
-    def step_batch(self, state: CombatBatchState, actions, key):
+        # ------------------------------------------------------------- obs
+        own = [
+            state.ally_hp / a_maxhp,
+            (state.ally_cd == 0).astype(jnp.float32),
+            state.ally_r.astype(jnp.float32) / scale_r,
+            state.ally_c.astype(jnp.float32) / scale_c,
+        ]
+        if tb:
+            own += [jnp.broadcast_to(a_onehot[:, k, None], (N, E)) for k in range(tb)]
+        own = jnp.stack(own, axis=1)  # (N, 4+tb, E)
+
+        vis_e = e_alive[None] & (dist_e <= self.sight_range)
+        ecols = [
+            vis_e.astype(jnp.float32),
+            jnp.where(vis_e, rel_er / scale_r, 0.0),
+            jnp.where(vis_e, rel_ec / scale_c, 0.0),
+            jnp.where(vis_e, state.enemy_hp[None] / e_maxhp[None], 0.0),
+            (vis_e & in_attack_range).astype(jnp.float32),
+        ]
+        if tb:
+            ecols += [
+                vis_e.astype(jnp.float32) * e_onehot[None, :, k, None]
+                for k in range(tb)
+            ]
+        enemy_feats = jnp.stack(ecols, axis=2)  # (N, M, 5+tb, E)
+
+        vis_a = alive[None] & (dist_a <= self.sight_range)
+        acols = [
+            vis_a.astype(jnp.float32),
+            jnp.where(vis_a, rel_ar / scale_r, 0.0),
+            jnp.where(vis_a, rel_ac / scale_c, 0.0),
+            jnp.where(vis_a, state.ally_hp[None] / a_maxhp.T[None].reshape(1, N, 1), 0.0),
+        ]
+        if tb:
+            acols += [
+                vis_a.astype(jnp.float32) * a_onehot[None, :, k, None]
+                for k in range(tb)
+            ]
+        ally_feats = jnp.stack(acols, axis=2)  # (N, N', 4+tb, E)
+        # per viewer i: other allies in index order, skipping self (static)
+        others = jnp.stack(
+            [
+                jnp.concatenate([ally_feats[i, :i], ally_feats[i, i + 1 :]], axis=0)
+                for i in range(N)
+            ]
+        )  # (N, N-1, 4+tb, E)
+
+        obs = jnp.concatenate(
+            [
+                own,
+                enemy_feats.reshape(N, M * enemy_feats.shape[2], E),
+                others.reshape(N, (N - 1) * others.shape[2], E),
+            ],
+            axis=1,
+        )  # (N, D, E)
+        dead = ~alive  # (N, E)
+        obs = jnp.where(dead[:, None, :], 0.0, obs)
+        return jnp.transpose(obs, (2, 0, 1)), jnp.transpose(mask, (2, 0, 1))
+
+    def step_batch(self, state: CombatBatchState, actions, key, current_mask=None):
         """E-last batched transition — exactly `vmap(self.step)` semantics
-        (pinned in tests/test_batched_env.py)."""
+        (pinned in tests/test_batched_env.py).
+
+        `current_mask` ((E, N, A), optional): the availability mask for
+        `state`, when the caller already holds it (rollout loops carry the
+        previous TimeStep). Passing it skips one full availability
+        recomputation per step — the validity check and the recompute are
+        bit-identical, so this is purely a speed knob."""
         del key  # scalar step ignores its key too
         N, M = self.n_agents, self._n_e
         a = jnp.asarray(actions, jnp.int32).T  # (N, E)
@@ -335,7 +416,9 @@ class SmacLiteCombat(Environment):
         nidx = jax.lax.broadcasted_iota(jnp.int32, (N, N, E), 1)
 
         # invalid actions become STOP
-        mask = jnp.transpose(self._avail_actions_batch(state), (1, 2, 0))  # (N, A, E)
+        if current_mask is None:
+            current_mask = self._avail_actions_batch(state)
+        mask = jnp.transpose(current_mask, (1, 2, 0))  # (N, A, E)
         aidx = jax.lax.broadcasted_iota(jnp.int32, mask.shape, 1)
         valid = jnp.sum(mask * (aidx == a[:, None, :]), axis=1) > 0
         a = jnp.where(valid, a, STOP)
@@ -451,93 +534,20 @@ class SmacLiteCombat(Environment):
             enemy_cd=enemy_cd,
             t=t,
         )
+        obs, next_mask = self._outputs_batch(new_state)
         ts = TimeStep(
-            obs=self._make_obs_batch(new_state),
+            obs=obs,
             reward=reward.T,
             stat_reward=reward.T,
             terminated=terminated,
             truncated=jnp.zeros((E,), bool),
-            action_mask=self._avail_actions_batch(new_state),
+            action_mask=next_mask,
         )
         return new_state, ts
 
     def _make_obs_batch(self, state: CombatBatchState):
         """(E, N, D) observations, E-last — same layout as `_make_obs`."""
-        N, M = self.n_agents, self._n_e
-        E = state.ally_r.shape[1]
-        scale_r, scale_c = float(self.rows), float(self.cols)
-        a_maxhp = jnp.asarray(self._stats(self.a_types, 0), jnp.float32)[:, None]
-        a_range = jnp.asarray(self._stats(self.a_types, 2), jnp.int32)[:, None]
-        e_maxhp = jnp.asarray(self._stats(self.e_types, 0), jnp.float32)[:, None]
-        tb = self.type_bits
-        a_onehot = jnp.asarray(self._type_onehot(self.a_types))  # (N, tb)
-        e_onehot = jnp.asarray(self._type_onehot(self.e_types))  # (M, tb)
-
-        own = [
-            state.ally_hp / a_maxhp,
-            (state.ally_cd == 0).astype(jnp.float32),
-            state.ally_r.astype(jnp.float32) / scale_r,
-            state.ally_c.astype(jnp.float32) / scale_c,
-        ]
-        if tb:
-            own += [jnp.broadcast_to(a_onehot[:, k, None], (N, E)) for k in range(tb)]
-        own = jnp.stack(own, axis=1)  # (N, 4+tb, E)
-
-        # enemies: viewer axis N, target axis M
-        rel_er = (state.enemy_r[None] - state.ally_r[:, None, :]).astype(jnp.float32)
-        rel_ec = (state.enemy_c[None] - state.ally_c[:, None, :]).astype(jnp.float32)
-        dist_e = jnp.maximum(jnp.abs(rel_er), jnp.abs(rel_ec))  # (N, M, E)
-        vis_e = (state.enemy_hp > 0)[None] & (dist_e <= self.sight_range)
-        ecols = [
-            vis_e.astype(jnp.float32),
-            jnp.where(vis_e, rel_er / scale_r, 0.0),
-            jnp.where(vis_e, rel_ec / scale_c, 0.0),
-            jnp.where(vis_e, state.enemy_hp[None] / e_maxhp[None], 0.0),
-            (vis_e & (dist_e <= a_range[:, None, :])).astype(jnp.float32),
-        ]
-        if tb:
-            ecols += [
-                vis_e.astype(jnp.float32) * e_onehot[None, :, k, None]
-                for k in range(tb)
-            ]
-        enemy_feats = jnp.stack(ecols, axis=2)  # (N, M, 5+tb, E)
-
-        # allies: viewer axis N, target axis N'
-        rel_ar = (state.ally_r[None] - state.ally_r[:, None, :]).astype(jnp.float32)
-        rel_ac = (state.ally_c[None] - state.ally_c[:, None, :]).astype(jnp.float32)
-        dist_a = jnp.maximum(jnp.abs(rel_ar), jnp.abs(rel_ac))
-        vis_a = (state.ally_hp > 0)[None] & (dist_a <= self.sight_range)
-        acols = [
-            vis_a.astype(jnp.float32),
-            jnp.where(vis_a, rel_ar / scale_r, 0.0),
-            jnp.where(vis_a, rel_ac / scale_c, 0.0),
-            jnp.where(vis_a, state.ally_hp[None] / a_maxhp.T[None].reshape(1, N, 1), 0.0),
-        ]
-        if tb:
-            acols += [
-                vis_a.astype(jnp.float32) * a_onehot[None, :, k, None]
-                for k in range(tb)
-            ]
-        ally_feats = jnp.stack(acols, axis=2)  # (N, N', 4+tb, E)
-        # per viewer i: other allies in index order, skipping self (static)
-        others = jnp.stack(
-            [
-                jnp.concatenate([ally_feats[i, :i], ally_feats[i, i + 1 :]], axis=0)
-                for i in range(N)
-            ]
-        )  # (N, N-1, 4+tb, E)
-
-        obs = jnp.concatenate(
-            [
-                own,
-                enemy_feats.reshape(N, M * enemy_feats.shape[2], E),
-                others.reshape(N, (N - 1) * others.shape[2], E),
-            ],
-            axis=1,
-        )  # (N, D, E)
-        dead = state.ally_hp <= 0  # (N, E)
-        obs = jnp.where(dead[:, None, :], 0.0, obs)
-        return jnp.transpose(obs, (2, 0, 1))
+        return self._outputs_batch(state)[0]
 
     # ------------------------------------------------------------------ masks
 

@@ -117,7 +117,10 @@ def collect_episodes(
         states, ts, running, pol_carry = carry
         k_act, k_env = jax.random.split(k)
         pol_carry, actions = policy(pol_carry, ts.obs, ts.action_mask, k_act)
-        new_states, new_ts = env.step_batch(states, actions, k_env)
+        # the carried TimeStep already holds `states`' availability mask;
+        # passing it lets masked envs skip recomputing it for the validity
+        # check (bit-identical, see Environment.step_batch)
+        new_states, new_ts = env.step_batch(states, actions, k_env, ts.action_mask)
         new_ts = constrain(new_ts)
 
         done = new_ts.done  # (E,)

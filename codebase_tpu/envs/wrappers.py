@@ -105,8 +105,8 @@ class TimeLimit(WrapperBase):
         s, ts = self.env.reset_batch(key, n)
         return TimeLimitState(inner=s, t=jnp.zeros((n,), jnp.int32)), ts
 
-    def step_batch(self, state, actions, key):
-        s, ts = self.env.step_batch(state.inner, actions, key)
+    def step_batch(self, state, actions, key, current_mask=None):
+        s, ts = self.env.step_batch(state.inner, actions, key, current_mask)
         t = state.t + 1
         truncated = jnp.logical_or(ts.truncated, t >= self.limit)
         return TimeLimitState(inner=s, t=t), ts.replace(truncated=truncated)
@@ -142,8 +142,8 @@ class ObserveID(WrapperBase):
         s, ts = self.env.reset_batch(key, n)
         return s, self._augment(ts)
 
-    def step_batch(self, state, actions, key):
-        s, ts = self.env.step_batch(state, actions, key)
+    def step_batch(self, state, actions, key, current_mask=None):
+        s, ts = self.env.step_batch(state, actions, key, current_mask)
         return s, self._augment(ts)
 
 
@@ -171,8 +171,8 @@ class CooperativeReward(WrapperBase):
     def reset_batch(self, key, n):
         return self.env.reset_batch(key, n)
 
-    def step_batch(self, state, actions, key):
-        s, ts = self.env.step_batch(state, actions, key)
+    def step_batch(self, state, actions, key, current_mask=None):
+        s, ts = self.env.step_batch(state, actions, key, current_mask)
         return s, self._team(ts)
 
 
@@ -201,8 +201,8 @@ class StandardiseReward(WrapperBase):
     def reset_batch(self, key, n):
         return self.env.reset_batch(key, n)
 
-    def step_batch(self, state, actions, key):
-        return self.env.step_batch(state, actions, key)
+    def step_batch(self, state, actions, key, current_mask=None):
+        return self.env.step_batch(state, actions, key, current_mask)
 
 
 @dataclass(frozen=True)
@@ -261,8 +261,8 @@ class FlattenObservation(WrapperBase):
     def reset_batch(self, key, n):
         return self.env.reset_batch(key, n)
 
-    def step_batch(self, state, actions, key):
-        return self.env.step_batch(state, actions, key)
+    def step_batch(self, state, actions, key, current_mask=None):
+        return self.env.step_batch(state, actions, key, current_mask)
 
 
 def _identity_wrapper(env):

@@ -145,7 +145,8 @@ def test_collect_episodes_batched_equals_legacy_vmap_path():
         def reset_batch(self, key, n):
             return jax.vmap(self.reset)(jax.random.split(key, n))
 
-        def step_batch(self, state, actions, key):
+        def step_batch(self, state, actions, key, current_mask=None):
+            del current_mask
             return jax.vmap(self.step)(state, actions, jax.random.split(key, actions.shape[0]))
 
     env_v = ForceVmap(env=env.env, limit=env.limit)
@@ -293,3 +294,27 @@ class TestSmacLiteBatched:
         state, metrics = train_chunk(state, 2)
         losses = np.asarray(metrics["loss"])
         assert np.isfinite(losses[~np.isnan(losses)]).all()
+
+
+def test_step_batch_with_carried_mask_is_bit_identical():
+    """`current_mask` is a pure speed knob: passing the carried availability
+    mask into step_batch must produce bit-identical transitions to the
+    recompute path (rollouts pass it — `envs/vector.py`)."""
+    import jax
+    import numpy as np
+
+    from codebase_tpu.envs.factory import make_base_env
+
+    env = make_base_env("smaclite:3m-v0")
+    key = jax.random.PRNGKey(3)
+    states, ts = env.reset_batch(key, 32)
+    for i in range(5):
+        k_a, k_s, key = jax.random.split(key, 3)
+        actions = jax.random.categorical(
+            k_a, jnp.where(ts.action_mask > 0, 0.0, -1e9)
+        ).astype(jnp.int32)
+        s1, t1 = env.step_batch(states, actions, k_s)
+        s2, t2 = env.step_batch(states, actions, k_s, ts.action_mask)
+        for a, b in zip(jax.tree.leaves((s1, t1)), jax.tree.leaves((s2, t2))):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        states, ts = s1, t1
