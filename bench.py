@@ -37,7 +37,9 @@ def main():
     suite = {}
     for key in bench_suite.CONFIGS:
         try:
-            suite[key] = bench_suite.run_config(key)
+            # 5 windows: best-of absorbs the axon tunnel's ±15% per-window
+            # latency noise (BASELINE.md "Measurement methodology")
+            suite[key] = bench_suite.run_config(key, windows=5)
         except Exception:  # keep the headline alive if one config regresses
             suite[key] = {"error": traceback.format_exc(limit=3).splitlines()[-1]}
             print(f"bench_suite config {key} failed:", file=sys.stderr)

@@ -41,6 +41,7 @@ from codebase_tpu.models.multi_agent import MultiAgentNetwork
 from codebase_tpu.envs.wrappers import standardisation_plan
 from codebase_tpu.ops.replay import (
     ReplayState,
+    batch_to_reference_layout,
     replay_add,
     replay_init,
     replay_sample_many,
@@ -387,6 +388,7 @@ def build_train_functions(
 
         def update_step(carry, batch):
             params, target_params, opt_state, ret_rms, updates, last_tgt = carry
+            batch = batch_to_reference_layout(batch)
             (loss, ret_rms), grads = jax.value_and_grad(model.loss, has_aux=True)(
                 params, target_params, batch, ret_rms, gamma_val
             )

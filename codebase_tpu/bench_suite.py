@@ -114,10 +114,14 @@ CONFIGS = {
         env="smaclite:3m-v0",
         time_limit=60,
         overrides=[
-            "algorithm.parallel_envs=4096",
+            # 16384 envs measured the round-3 sweet spot (4096: 7.3M, 16384:
+            # ~10.5M, 32768: 8.2M steps/s) — the lane is rollout-op-count
+            # bound, so envs-per-chip amortise the serial chain until memory
+            # pressure bites
+            "algorithm.parallel_envs=16384",
             "algorithm.batch_size=256",
             "algorithm.updates_per_collect=8",
-            "algorithm.buffer_size=16384",
+            "algorithm.buffer_size=65536",
             "algorithm.training_start=0",
             "algorithm.replay_slot_reuse=clear",  # see idqn_lbf note
         ],
@@ -132,10 +136,10 @@ CONFIGS = {
         time_limit=25,
         overrides=[
             "algorithm.model.use_rnn=true",
-            "algorithm.parallel_envs=8192",
+            "algorithm.parallel_envs=32768",
             "algorithm.batch_size=1024",
             "algorithm.updates_per_collect=8",
-            "algorithm.buffer_size=16384",
+            "algorithm.buffer_size=65536",
             "algorithm.training_start=0",
             "algorithm.replay_slot_reuse=clear",  # see idqn_lbf note
         ],
@@ -149,10 +153,10 @@ CONFIGS = {
         overrides=[
             "algorithm.model.use_rnn=true",
             "algorithm.model.fused_rnn=off",
-            "algorithm.parallel_envs=8192",
+            "algorithm.parallel_envs=32768",
             "algorithm.batch_size=1024",
             "algorithm.updates_per_collect=8",
-            "algorithm.buffer_size=16384",
+            "algorithm.buffer_size=65536",
             "algorithm.training_start=0",
             "algorithm.replay_slot_reuse=clear",  # see idqn_lbf note
         ],

@@ -173,8 +173,10 @@ def replay_sample(state: ReplayState, key, batch_size: int):
     obss (N, T+1, B, D), actions (N, T, B), rewards (N, T, B), dones (T+1, B),
     filled (T, B), action_mask (N, T+1, B, A).
     """
-    batch = replay_sample_many(state, key, batch_size, 1)
-    return {k: (v[0] if v is not None else None) for k, v in batch.items()}
+    return batch_to_reference_layout(
+        {k: (v[0] if v is not None else None)
+         for k, v in replay_sample_many(state, key, batch_size, 1).items()}
+    )
 
 
 def replay_sample_many(state: ReplayState, key, batch_size: int, n: int):
@@ -187,31 +189,43 @@ def replay_sample_many(state: ReplayState, key, batch_size: int, n: int):
     replacement, one (n*B,)-index gather is distributionally identical to n
     separate (B,) gathers — the scan then consumes pre-gathered batches.
 
-    Returns the `replay_sample` dict with a leading n axis on every leaf:
-    obss (n, N, T+1, B, D), actions (n, N, T, B), ... .
+    Leaves keep the gathered slot-major layout with a leading n axis —
+    obs (n, B, T+1, N, D), actions (n, B, T, N), dones (n, B, T+1), ... —
+    so the (cheap, fused) reference-layout transpose happens per update
+    inside the scan (`batch_to_reference_layout`), not as one large 5-D
+    transpose of the whole gather (measured slower for small rows).
     """
     idx = jax.random.randint(key, (n * batch_size,), 0, state.num_stored)
 
-    def take(buf, feat_dims):
-        # (n*B, T[, N[, F]]) -> (n, ..., B, ...) in reference Batch layout
+    def take(buf):
         g = buf[idx]
-        g = g.reshape((n, batch_size) + g.shape[1:])
-        if feat_dims == 0:  # dones/filled: (n, B, T') -> (n, T', B)
-            return jnp.transpose(g, (0, 2, 1))
-        if feat_dims == 1:  # actions/rewards: (n, B, T', N) -> (n, N, T', B)
-            return jnp.transpose(g, (0, 3, 2, 1))
-        # obs/mask: (n, B, T', N, F) -> (n, N, T', B, F)
-        return jnp.transpose(g, (0, 3, 2, 1, 4))
+        return g.reshape((n, batch_size) + g.shape[1:])
 
     return dict(
-        obss=take(state.obs, 2).astype(jnp.float32),
-        actions=take(state.actions, 1),
-        rewards=take(state.rewards, 1),
-        dones=take(state.dones, 0),
-        filled=take(state.filled, 0),
+        obss=take(state.obs),
+        actions=take(state.actions),
+        rewards=take(state.rewards),
+        dones=take(state.dones),
+        filled=take(state.filled),
         action_mask=(
-            take(state.action_mask, 2).astype(jnp.float32)
-            if state.action_mask is not None
+            take(state.action_mask) if state.action_mask is not None else None
+        ),
+    )
+
+
+def batch_to_reference_layout(b: dict) -> dict:
+    """One update's slot-major slice -> the reference `Batch` layout:
+    obss (N, T+1, B, D), actions (N, T, B), rewards (N, T, B),
+    dones (T+1, B), filled (T, B), action_mask (N, T+1, B, A)."""
+    return dict(
+        obss=jnp.transpose(b["obss"], (2, 1, 0, 3)).astype(jnp.float32),
+        actions=jnp.transpose(b["actions"], (2, 1, 0)),
+        rewards=jnp.transpose(b["rewards"], (2, 1, 0)),
+        dones=jnp.transpose(b["dones"], (1, 0)),
+        filled=jnp.transpose(b["filled"], (1, 0)),
+        action_mask=(
+            jnp.transpose(b["action_mask"], (2, 1, 0, 3)).astype(jnp.float32)
+            if b["action_mask"] is not None
             else None
         ),
     )
