@@ -194,10 +194,32 @@ def run_reference(params0, batches):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--updates", type=int, default=N_UPDATES)
+    ap.add_argument(
+        "--max-rel-loss-delta",
+        type=float,
+        default=None,
+        help="exit nonzero if any per-update relative loss delta exceeds "
+        "this (use with JAX_ENABLE_X64=1 for the exactness assertion)",
+    )
+    args = ap.parse_args()
+
     import jax
 
+    f64 = jax.config.jax_enable_x64
     rng = np.random.default_rng(0)
-    batches = make_batches(rng, N_UPDATES)
+    batches = make_batches(rng, args.updates)
+    if f64:
+        import torch
+
+        torch.set_default_dtype(torch.float64)
+        batches = [
+            {k: v.astype(np.float64) if v.dtype == np.float32 else v for k, v in b.items()}
+            for b in batches
+        ]
 
     # framework init (the side whose init we transplant)
     from codebase_tpu.models.multi_agent import MultiAgentNetwork
