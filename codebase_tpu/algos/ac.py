@@ -242,8 +242,11 @@ def build_train_functions(
     time_limit: int,
     mesh=None,
     dynamic_hypers: tuple = (),
+    debug: bool = False,
 ):
-    """Construct (model, init_state, train_chunk, evaluate). With a `mesh`,
+    """Construct (model, init_state, train_chunk, evaluate). `debug`
+    checkifies the train chunk: NaN/OOB/div errors raise with op location
+    (`utils/debug.py`). With a `mesh`,
     the env batch axis of rollouts shards over the data axis; params stay
     replicated and XLA reduces gradients with psum collectives.
 
@@ -409,6 +412,11 @@ def build_train_functions(
     @partial(jax.jit, static_argnames=("iters",))
     def train_chunk(state: ACTrainState, iters: int):
         return jax.lax.scan(train_iteration, state, None, length=iters)
+
+    if debug:
+        from codebase_tpu.utils.debug import checkify_chunk
+
+        train_chunk = checkify_chunk(train_chunk)
 
     @jax.jit
     def evaluate(params, key):

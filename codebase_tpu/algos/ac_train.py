@@ -30,7 +30,7 @@ def _episode_infos(returns: np.ndarray, lengths: np.ndarray) -> list:
 def main(env, eval_env, logger, time_limit, cfg, mesh=None):
     acfg = cfg.algorithm
     model, init_state, train_chunk, evaluate = build_train_functions(
-        env, eval_env, acfg, time_limit, mesh=mesh
+        env, eval_env, acfg, time_limit, mesh=mesh, debug=bool(cfg.get("debug"))
     )
     logger.watch(model)
 
@@ -45,11 +45,17 @@ def main(env, eval_env, logger, time_limit, cfg, mesh=None):
         from codebase_tpu.utils.checkpoint import load_checkpoint
 
         state = load_checkpoint(resume_path, template=state)
+    # see dqn_train.py: local-filesystem resume decisions must agree globally
+    from codebase_tpu.parallel.mesh import assert_agreement
+
+    resume_step = int(jax.device_get(state.env_steps)) if resume_path else -1
+    assert_agreement(resume_step, "resume checkpoint step")
+    if resume_path:
         if mesh is not None:
             from codebase_tpu.parallel.mesh import ac_state_shardings, put_global
 
             state = put_global(state, ac_state_shardings(state, mesh))
-        logger.info(f"Resumed from {resume_path} at step {int(jax.device_get(state.env_steps))}")
+        logger.info(f"Resumed from {resume_path} at step {resume_step}")
     elif cfg.get("resume"):
         logger.info("resume=auto: no checkpoint found, starting fresh")
 
@@ -76,7 +82,7 @@ def main(env, eval_env, logger, time_limit, cfg, mesh=None):
             f"effective cadence is ~{max_steps_per_iter} steps"
         )
 
-    from codebase_tpu.parallel.mesh import fetch_metrics, is_coordinator
+    from codebase_tpu.parallel.mesh import fetch_metrics, is_coordinator, sync_flag
     from codebase_tpu.utils.preemption import PreemptionGuard
 
     coord = is_coordinator()
@@ -87,6 +93,8 @@ def main(env, eval_env, logger, time_limit, cfg, mesh=None):
             state, metrics = train_chunk(state, chunk_iters)
             # one device_get for both counters (see the note in dqn_train.py)
             step, updates = map(int, jax.device_get((state.env_steps, state.updates)))
+            # agree on the preemption flag across hosts (see dqn_train.py)
+            preempt = sync_flag(guard.triggered)
 
             if log_interval and (step - last_log) >= log_interval:
                 # log the final iteration's episode batch, mirroring the
@@ -115,7 +123,7 @@ def main(env, eval_env, logger, time_limit, cfg, mesh=None):
                 last_video = step
 
             do_save = save_interval and (step - last_save) >= save_interval
-            if guard.triggered:
+            if preempt:
                 logger.info(f"SIGTERM received: checkpointing at step {step} and exiting")
                 do_save = True
             if do_save:
@@ -123,7 +131,7 @@ def main(env, eval_env, logger, time_limit, cfg, mesh=None):
                 if coord:
                     save_checkpoint(run_dir / "checkpoints" / f"model_s{step}.msgpack", host_state)
                 last_save = step
-            if guard.triggered:
+            if preempt:
                 break
 
         # final-state checkpoint (see the matching note in dqn_train.py)

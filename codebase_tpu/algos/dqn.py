@@ -256,6 +256,7 @@ def build_train_functions(
     time_limit: int,
     mesh=None,
     dynamic_hypers: tuple = (),
+    debug: bool = False,
 ):
     """Construct (init_state, train_chunk(state, iters), evaluate(state, key)).
 
@@ -263,6 +264,11 @@ def build_train_functions(
     tests and benchmarking. With a `mesh`, the env batch and replay buffer
     shard over the mesh's data axis and XLA inserts the psum gradient sync
     (see `codebase_tpu/parallel/mesh.py`).
+
+    `debug` checkifies the train chunk (NaN/OOB/div checks raised with op
+    location, `utils/debug.py`) and replaces the pre-`training_start` NaN
+    loss sentinel with 0.0 so the NaN checks stay meaningful — debug-mode
+    results.csv rows before training starts therefore log loss 0.0.
 
     `dynamic_hypers` names scalar hyperparameters (subset of "lr", "gamma",
     "tau") to read from the train state instead of baking into the program —
@@ -444,7 +450,9 @@ def build_train_functions(
             return carry + (jnp.mean(losses),)
 
         def no_updates(operand):
-            return operand + (jnp.float32(jnp.nan),)
+            # NaN marks "no update happened" for the logger's nanmean; debug
+            # mode swaps it for 0.0 so checkify/debug_nans don't flag it
+            return operand + (jnp.float32(0.0 if debug else jnp.nan),)
 
         operand = (
             state.params,
@@ -482,6 +490,11 @@ def build_train_functions(
     @partial(jax.jit, static_argnames=("iters",))
     def train_chunk(state: DQNTrainState, iters: int):
         return jax.lax.scan(train_iteration, state, None, length=iters)
+
+    if debug:
+        from codebase_tpu.utils.debug import checkify_chunk
+
+        train_chunk = checkify_chunk(train_chunk)
 
     @jax.jit
     def evaluate(params, key):

@@ -35,7 +35,7 @@ def _eval_infos(eval_out) -> list:
 def main(env, eval_env, logger, time_limit, cfg, mesh=None):
     acfg = cfg.algorithm
     model, init_state, train_chunk, evaluate = build_train_functions(
-        env, eval_env, acfg, time_limit, mesh=mesh
+        env, eval_env, acfg, time_limit, mesh=mesh, debug=bool(cfg.get("debug"))
     )
     logger.watch(model)
 
@@ -52,11 +52,18 @@ def main(env, eval_env, logger, time_limit, cfg, mesh=None):
         from codebase_tpu.utils.checkpoint import load_checkpoint
 
         state = load_checkpoint(resume_path, template=state)
+    # `resume=auto` resolves against the LOCAL filesystem; all processes must
+    # have reached the same decision before put_global assembles global state
+    from codebase_tpu.parallel.mesh import assert_agreement
+
+    resume_step = int(jax.device_get(state.env_steps)) if resume_path else -1
+    assert_agreement(resume_step, "resume checkpoint step")
+    if resume_path:
         if mesh is not None:
             from codebase_tpu.parallel.mesh import dqn_state_shardings, put_global
 
             state = put_global(state, dqn_state_shardings(state, mesh))
-        logger.info(f"Resumed from {resume_path} at step {int(jax.device_get(state.env_steps))}")
+        logger.info(f"Resumed from {resume_path} at step {resume_step}")
     elif cfg.get("resume"):
         logger.info("resume=auto: no checkpoint found, starting fresh")
 
@@ -95,7 +102,7 @@ def main(env, eval_env, logger, time_limit, cfg, mesh=None):
         total_steps,
     )
 
-    from codebase_tpu.parallel.mesh import fetch_metrics, is_coordinator
+    from codebase_tpu.parallel.mesh import fetch_metrics, is_coordinator, sync_flag
     from codebase_tpu.utils.preemption import PreemptionGuard
 
     coord = is_coordinator()
@@ -108,6 +115,10 @@ def main(env, eval_env, logger, time_limit, cfg, mesh=None):
             # pathological slow path on tunneled backends (measured ~50s for
             # the first conversion on axon), device_get never does
             step, updates = map(int, jax.device_get((state.env_steps, state.updates)))
+            # SIGTERM may land on a subset of hosts; agree before acting so
+            # every process takes the save-and-exit path together (a lone
+            # exiting process would deadlock the survivors' collectives)
+            preempt = sync_flag(guard.triggered)
 
             # eval rollouts and training metrics have independent cadences but
             # merge into ONE results.csv row when they coincide (the default
@@ -149,7 +160,7 @@ def main(env, eval_env, logger, time_limit, cfg, mesh=None):
                 last_video = step
 
             do_save = save_interval and (step - last_save) >= save_interval
-            if guard.triggered:
+            if preempt:
                 logger.info(f"SIGTERM received: checkpointing at step {step} and exiting")
                 do_save = True
             if do_save:
@@ -159,7 +170,7 @@ def main(env, eval_env, logger, time_limit, cfg, mesh=None):
                 if coord:
                     save_checkpoint(run_dir / "checkpoints" / f"model_s{step}.msgpack", host_state)
                 last_save = step
-            if guard.triggered:
+            if preempt:
                 break
 
         # final-state checkpoint: the interval arithmetic usually leaves the

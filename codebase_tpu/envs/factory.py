@@ -15,6 +15,7 @@ stats via stat_reward] -> ObserveID -> StandardiseReward -> named wrappers.
 from __future__ import annotations
 
 import dataclasses
+import warnings
 
 from codebase_tpu.envs import wrappers as W
 from codebase_tpu.envs.api import Environment
@@ -59,6 +60,7 @@ def make_env(
         env = W.ObserveID(env)
     if standardise_rewards:
         env = W.StandardiseReward(env)
+    reward_standardised = bool(standardise_rewards)
     for wname in wrappers or []:
         if wname not in W.NAMED_WRAPPERS:
             # the reference also falls back to `gym.wrappers` by name
@@ -73,5 +75,31 @@ def make_env(
                 "StandardiseReward, RecordEpisodeStatistics/ClearInfo are "
                 "always-on/no-op here)."
             )
-        env = W.NAMED_WRAPPERS[wname](env)
+        cls = W.NAMED_WRAPPERS[wname]
+        if cls is W.StandardiseReward:
+            if reward_standardised:
+                # don't standardise twice: the flag (or an earlier named
+                # entry) already applied the transformation
+                warnings.warn(
+                    f"wrapper {wname!r} skipped: reward standardisation is "
+                    "already in the stack (standardise_rewards flag or an "
+                    "earlier named wrapper)"
+                )
+                continue
+            if wname == "NormalizeReward":
+                # gym's NormalizeReward scales rewards by a running std of
+                # the DISCOUNTED RETURN with no mean subtraction — a
+                # different transformation from reward standardisation.
+                # Configs ported from the reference get the nearest
+                # equivalent, not the same reward shaping; say so once.
+                warnings.warn(
+                    "gym wrapper 'NormalizeReward' is approximated by "
+                    "StandardiseReward (streaming mean/std reward "
+                    "standardisation). gym's version divides by the running "
+                    "std of the discounted return without mean subtraction; "
+                    "trained reward magnitudes will differ from the gym "
+                    "wrapper's."
+                )
+            reward_standardised = True
+        env = cls(env)
     return env

@@ -124,6 +124,48 @@ def fetch_metrics(tree):
     return jax.tree.map(_leaf, tree)
 
 
+def sync_flag(local: bool) -> bool:
+    """OR-reduce a host-side flag across processes (single-process: identity).
+
+    Used for the preemption flag: SIGTERM may reach only SOME hosts of a pod
+    job (e.g. a manual kill on one worker). If the signalled process alone
+    took the save-and-exit path, the survivors would enter the next
+    train_chunk's collectives without it and the job would deadlock — so the
+    drivers agree on the flag at every chunk boundary and every process
+    saves/exits together. The allgather is a collective: all processes must
+    call this at the same program point.
+    """
+    if jax.process_count() == 1:
+        return bool(local)
+    from jax.experimental import multihost_utils
+
+    flags = multihost_utils.process_allgather(np.asarray(bool(local)))
+    return bool(np.any(flags))
+
+
+def assert_agreement(value: int, what: str) -> None:
+    """Assert an integer is identical on every process (collective).
+
+    Guards decisions each process makes against its *local* filesystem —
+    e.g. `resume=auto` checkpoint discovery: on clusters without a shared
+    filesystem, the coordinator could resume from its checkpoint while other
+    processes silently start fresh, and `put_global` would then assemble a
+    globally inconsistent train state with no error.
+    """
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    vals = np.asarray(multihost_utils.process_allgather(np.asarray(int(value))))
+    if not np.all(vals == vals.flat[0]):
+        raise RuntimeError(
+            f"processes disagree on {what}: per-process values {vals.tolist()} "
+            f"(process {jax.process_index()} has {int(value)}). On multi-host "
+            "deployments every process must see the same checkpoints — use a "
+            "shared filesystem or pass an explicit resume path."
+        )
+
+
 def put_global(tree, shardings):
     """Place a host pytree at the given shardings, valid in multi-process
     mode: every process holds the FULL host value (e.g. a loaded checkpoint)

@@ -40,6 +40,17 @@ def main(argv=None):
     assert cfg.env.get("time_limit"), "Time limit must be set."
     assert "name" in cfg.algorithm, "select an algorithm with +algorithm=<name>"
 
+    if cfg.get("debug"):
+        # SURVEY.md §5 sanitizer mode: located NaN errors from any jit output
+        # (plus the drivers build a checkified train chunk). Slow by design.
+        from codebase_tpu.utils.debug import enable_debug_nans
+
+        enable_debug_nans()
+        logging.getLogger("codebase_tpu").warning(
+            "debug=true: jax_debug_nans + checkified train chunk enabled "
+            "(expect several-fold slower steps)"
+        )
+
     # bring up the multi-host runtime FIRST: process identity decides who owns
     # the run directory and logger below (N hosts must not race on one
     # results.csv), and the mesh must span the global device set

@@ -14,9 +14,10 @@ Spec format (identical to the reference, `configs/sweeps/sample.yaml`):
 Modes:
 - `dry_run`  — print the generated combination list (`search.py:123-131`),
 - `single I` — run one combination, for cluster array jobs (`search.py:134-148`),
-- `locally`  — run combinations as sequential `run.py` invocations (the
-  reference uses a process pool; a single TPU chip admits one process at a
-  time, so this runs serially),
+- `locally`  — run combinations as `run.py` invocations: sequential by
+  default (a single TPU chip admits one process at a time), or a pool of
+  `--workers N` subprocesses on CPU backends (the reference's
+  multiprocessing pool, `search.py:108-120`),
 - `vmapped`  — group combinations by config and train all seeds of each
   config simultaneously under vmap (TPU-native replacement).
 """
@@ -134,16 +135,60 @@ def single(combos, index):
 
 @run.command()
 @click.option("--yes", is_flag=True, help="skip confirmation")
+@click.option(
+    "--workers",
+    default=1,
+    show_default=True,
+    help="concurrent run.py subprocesses (the reference's process pool, "
+    "search.py:108-120). Keep 1 on a TPU chip — the chip admits one process "
+    "at a time; >1 is for CPU backends and shape-changing axes that cannot "
+    "fold into `vmapped`.",
+)
 @click.pass_obj
-def locally(combos, yes):
-    """Run every combination sequentially (one chip = one process)."""
-    from codebase_tpu.run import main as run_main
-
+def locally(combos, yes, workers):
+    """Run every combination locally: sequentially in-process by default,
+    or as a pool of `--workers` run.py subprocesses."""
     if not yes:
-        click.confirm(f"Run {len(combos)} combinations sequentially?", abort=True)
-    for i, tokens in enumerate(combos):
+        click.confirm(
+            f"Run {len(combos)} combinations "
+            + (f"with {workers} workers?" if workers > 1 else "sequentially?"),
+            abort=True,
+        )
+    if workers <= 1:
+        from codebase_tpu.run import main as run_main
+
+        for i, tokens in enumerate(combos):
+            click.echo(f"[{i + 1}/{len(combos)}] " + " ".join(tokens))
+            run_main(list(tokens))
+        return
+
+    import subprocess
+    import sys
+    from concurrent.futures import ThreadPoolExecutor
+
+    def work(i_tokens):
+        i, tokens = i_tokens
         click.echo(f"[{i + 1}/{len(combos)}] " + " ".join(tokens))
-        run_main(list(tokens))
+        proc = subprocess.run(
+            [sys.executable, "-m", "codebase_tpu.run", *tokens],
+            capture_output=True,
+            text=True,
+        )
+        if proc.returncode != 0:
+            click.echo(
+                f"[{i + 1}/{len(combos)}] FAILED rc={proc.returncode}\n"
+                + proc.stderr[-2000:],
+                err=True,
+            )
+        return proc.returncode
+
+    # threads only marshal subprocesses; each run gets its own JAX runtime
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        codes = list(pool.map(work, enumerate(combos)))
+    failed = sum(1 for c in codes if c != 0)
+    click.echo(f"done: {len(codes) - failed}/{len(codes)} succeeded")
+    if failed:
+        raise SystemExit(1)
 
 
 @run.command()
@@ -238,9 +283,10 @@ def bayes(combos, output, budget, metric, tail, bo_seed, yes):
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
     enable_cache()
 
+    # a spec with no seed axis still evaluates: default to one seed
     seeds = sorted(
         {int(t.split("=")[1]) for c in combos for t in c if t.startswith("seed=")}
-    )
+    ) or [0]
     combo_dicts = {}
     for tokens in combos:
         d = {}
@@ -252,11 +298,13 @@ def bayes(combos, output, budget, metric, tail, bo_seed, yes):
         combo_dicts[tuple(sorted(d.items()))] = d
     candidates = list(combo_dicts.values())
     keys = sorted({k for c in candidates for k in c})
-    axes = {
-        k: sorted({c[k] for c in candidates}, key=_axis_sort_key)
-        for k in keys
-        if len({c[k] for c in candidates}) > 1
-    }
+    # tuple-linked specs produce heterogeneous key sets (a key present in
+    # only some combos): absence is itself a categorical level, not a KeyError
+    axes = {}
+    for k in keys:
+        vals = {c.get(k, _ABSENT) for c in candidates}
+        if len(vals) > 1:
+            axes[k] = sorted(vals, key=_axis_sort_key)
     # typed axes for the encoder (numeric strings -> floats)
     axes_typed = {k: [_parse_scalar(v) for v in vs] for k, vs in axes.items()}
 
@@ -289,7 +337,9 @@ def bayes(combos, output, budget, metric, tail, bo_seed, yes):
         return y
 
     # only the varying axes feed the GP; constants ride along in evaluate
-    bo_candidates = [{k: _parse_scalar(c[k]) for k in axes} for c in candidates]
+    bo_candidates = [
+        {k: _parse_scalar(c.get(k, _ABSENT)) for k in axes} for c in candidates
+    ]
     raw_by_enc = {tuple(sorted(b.items())): c for b, c in zip(bo_candidates, candidates)}
 
     result = optimise(
@@ -309,6 +359,12 @@ def bayes(combos, output, budget, metric, tail, bo_seed, yes):
     out_root.mkdir(parents=True, exist_ok=True)
     (out_root / "bayes_result.json").write_text(json.dumps(summary, indent=2))
     click.echo(json.dumps(summary))
+
+
+# categorical level standing for "key not present in this combo" (tuple-linked
+# sweep specs legitimately produce such holes); _parse_scalar passes it through
+# as a string, so the GP encoder one-hots the axis
+_ABSENT = "<absent>"
 
 
 def _parse_scalar(v: str):

@@ -120,6 +120,51 @@ IA2C_CFG = dict(
     video_frames=500,
 )
 
+# Value-decomposition variants (marlbase/configs/algorithm/{vdn,qmix}.yaml):
+# same hyperparameters as idqn, different model _target_, plus the
+# CooperativeReward env wrapper (vdn.yaml:6-8).
+VDN_CFG = dict(IDQN_CFG, name="vdn", model=dict(IDQN_CFG["model"], _target_="dqn.model.VDNetwork"))
+QMIX_CFG = dict(
+    IDQN_CFG,
+    name="qmix",
+    model=dict(
+        IDQN_CFG["model"],
+        _target_="dqn.model.QMixNetwork",
+        mixing=dict(embed_dim=64, hypernet_layers=2, hypernet_embed=32),
+    ),
+)
+
+# AC variants (marlbase/configs/algorithm/{maa2c,ippo,mappo}.yaml): maa2c =
+# ia2c + centralised critic; ippo = ia2c + PPONetwork(num_epochs=4, clip=.2);
+# mappo = ippo + centralised critic.
+def _ac_variant(name, *, centralised, ppo):
+    cfg = dict(IA2C_CFG, name=name)
+    cfg["model"] = dict(
+        IA2C_CFG["model"],
+        critic=dict(IA2C_CFG["model"]["critic"], centralised=centralised),
+    )
+    if ppo:
+        cfg["model"]["_target_"] = "ac.model.PPONetwork"
+        cfg["num_epochs"] = 4
+        cfg["ppo_clip"] = 0.2
+    return cfg
+
+
+ALGO_CFGS = {
+    "idqn": IDQN_CFG,
+    "vdn": VDN_CFG,
+    "qmix": QMIX_CFG,
+    "ia2c": IA2C_CFG,
+    "maa2c": _ac_variant("maa2c", centralised=True, ppo=False),
+    "ippo": _ac_variant("ippo", centralised=False, ppo=True),
+    "mappo": _ac_variant("mappo", centralised=True, ppo=True),
+}
+DQN_FAMILY = {"idqn", "vdn", "qmix"}
+# CooperativeReward is applied OUTERMOST (after RecordEpisodeStatistics), as
+# the reference's make_env does for named wrappers (utils/envs.py:47-54) —
+# episode stats therefore record pre-sum per-agent rewards.
+COOP_ALGOS = {"vdn", "qmix"}
+
 PARALLEL_ENVS = 10  # configs/algorithm/ia2c.yaml: env.parallel_envs
 
 
@@ -162,7 +207,7 @@ class GateLogger:
             w.writerows(self.rows)
 
 
-def build_single_env(seed: int):
+def build_single_env(seed: int, cooperative: bool = False):
     from codebase_tpu.envs import wrappers as W
     from codebase_tpu.envs.factory import make_base_env
     from codebase_tpu.envs.gym_compat import GymnasiumEnv
@@ -171,6 +216,8 @@ def build_single_env(seed: int):
     base = W.TimeLimit(make_base_env(ENV_NAME), limit=TIME_LIMIT)
     env = GymnasiumEnv(base, seed=seed)
     env = mwrappers.RecordEpisodeStatistics(env)
+    if cooperative:
+        env = mwrappers.CooperativeReward(env)
     env.reset(seed=seed)
     return env
 
@@ -186,7 +233,7 @@ def build_vector_env(seed: int):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--algo", choices=["idqn", "ia2c"], required=True)
+    ap.add_argument("--algo", choices=sorted(ALGO_CFGS), required=True)
     ap.add_argument("--seed", type=int, required=True)
     ap.add_argument("--total-steps", type=int, default=2_000_000)
     ap.add_argument("--eval-interval", type=int, default=20_000)
@@ -223,19 +270,19 @@ def main():
         common["save_interval"] = args.save_interval
 
     t0 = time.time()
-    if args.algo == "idqn":
+    coop = args.algo in COOP_ALGOS
+    cfg = {**ALGO_CFGS[args.algo], **common}
+    if args.algo in DQN_FAMILY:
         from marlbase.dqn import train as ref_train
 
-        env = build_single_env(args.seed)
-        eval_env = build_single_env(args.seed + 10_000)
-        cfg = {**IDQN_CFG, **common}
+        env = build_single_env(args.seed, cooperative=coop)
+        eval_env = build_single_env(args.seed + 10_000, cooperative=coop)
         ref_train.main(env, eval_env, logger, TIME_LIMIT, **cfg)
     else:
         from marlbase.ac import train as ref_train
 
         envs = build_vector_env(args.seed)
         eval_env = build_single_env(args.seed + 10_000)
-        cfg = {**IA2C_CFG, **common}
         ref_train.main(envs, eval_env, logger, TIME_LIMIT, **cfg)
 
     wall = time.time() - t0

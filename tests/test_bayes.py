@@ -57,6 +57,42 @@ class TestBO:
 
 
 class TestCLI:
+    def test_bayes_heterogeneous_key_sets(self, tmp_path):
+        """Tuple-linked specs legitimately give combos DIFFERENT key sets;
+        absence must become a categorical level, not a KeyError."""
+        import json
+
+        from click.testing import CliRunner
+
+        from codebase_tpu.search import cli
+
+        spec_path = tmp_path / "spec.yaml"
+        spec_path.write_text(
+            "env.name: matrix-coordination\n"
+            "env.time_limit: 1\n"
+            "env.parallel_envs: 8\n"
+            "+algorithm: idqn\n"
+            "algorithm.total_steps: 300\n"
+            "algorithm.training_start: 32\n"
+            "algorithm.buffer_size: 128\n"
+            "algorithm.eval_interval: 100\n"
+            "algorithm.eval_episodes: 4\n"
+            "linked:\n"
+            "- !!python/tuple [{algorithm.lr: 0.001}, {algorithm.batch_size: 8}]\n"
+            "- !!python/tuple [{algorithm.gamma: 0.9}]\n"
+        )
+        out = tmp_path / "bo"
+        r = CliRunner().invoke(
+            cli,
+            ["run", "--config", str(spec_path), "--seeds", "1",
+             "bayes", "--budget", "2", "--output", str(out), "--yes"],
+            catch_exceptions=False,
+        )
+        assert r.exit_code == 0, r.output
+        summary = json.loads((out / "bayes_result.json").read_text())
+        assert summary["evaluations"] == 2
+        assert summary["candidates"] == 2
+
     def test_bayes_mode_end_to_end(self, tmp_path):
         from click.testing import CliRunner
 

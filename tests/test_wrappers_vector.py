@@ -31,6 +31,36 @@ class TestFactory:
         assert env.obs_dim == 15 + 2
         assert env.n_agents == 2 and env.n_actions == 6
 
+    def test_normalize_reward_maps_with_warning(self):
+        import pytest
+
+        # gym's NormalizeReward is a *different* transformation (std of the
+        # discounted return, no mean subtraction); mapping it to
+        # StandardiseReward must say so instead of silently reshaping rewards
+        with pytest.warns(UserWarning, match="NormalizeReward"):
+            env = make_env(
+                "Foraging-8x8-2p-3f-v3", time_limit=25, wrappers=["NormalizeReward"]
+            )
+        assert isinstance(env, W.StandardiseReward)
+
+    def test_normalize_reward_skipped_when_already_standardised(self):
+        import pytest
+
+        with pytest.warns(UserWarning, match="skipped"):
+            env = make_env(
+                "Foraging-8x8-2p-3f-v3",
+                time_limit=25,
+                standardise_rewards=True,
+                wrappers=["NormalizeReward"],
+            )
+        # exactly one standardisation marker in the stack
+        count = 0
+        node = env
+        while node is not None:
+            count += isinstance(node, W.StandardiseReward)
+            node = getattr(node, "env", None)
+        assert count == 1
+
     def test_unknown_name(self):
         import pytest
 
