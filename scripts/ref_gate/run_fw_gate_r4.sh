@@ -29,10 +29,10 @@ run() {
     rm -rf "$dir"
     echo "$(date +%H:%M:%S) start $algo seed $seed (attempt $attempt)"
     timeout 3600 python -m codebase_tpu.run +algorithm=$algo \
-      env.name=Foraging-8x8-2p-3f-v3 env.time_limit=25 "$@" \
+      env.name=Foraging-8x8-2p-3f-v3 env.time_limit=25 \
       seed=$seed algorithm.total_steps=2000000 \
       algorithm.eval_interval=20000 algorithm.log_interval=20000 \
-      run_dir=$dir > $dir.log 2>&1 &
+      "$@" run_dir=$dir > $dir.log 2>&1 &
     local pid=$!
     local waited=0
     while kill -0 $pid 2>/dev/null; do
@@ -57,8 +57,14 @@ run() {
   done
   echo "$(date +%H:%M:%S) GIVING UP on $algo seed $seed"
 }
-for s in 0 1 2 3 4; do run vdn  $s env.parallel_envs=1; done
-for s in 0 1 2 3 4; do run qmix $s env.parallel_envs=1; done
+# vdn/qmix run 1M steps (matched to the 1M reference-side runs: the DQN
+# family reference trainer does ~1.4k FPS, so 2M x 5 seeds x 2 algos did
+# not fit the round budget; the gate criterion only needs matched budgets)
+for s in 0 1 2 3 4; do run vdn  $s env.parallel_envs=1 algorithm.total_steps=1000000; done
+for s in 0 1 2 3 4; do run qmix $s env.parallel_envs=1 algorithm.total_steps=1000000; done
 for s in 0 1 2 3 4; do run mappo $s; done
 for s in 5 6 7 8 9; do run idqn $s env.parallel_envs=1 algorithm.save_interval=500000; done
+for s in 3 4; do run ia2c $s; done
+for s in 0 1 2 3 4; do run maa2c $s; done
+for s in 0 1 2 3 4; do run ippo $s; done
 echo "$(date +%H:%M:%S) ALL DONE"
