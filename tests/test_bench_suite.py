@@ -15,9 +15,52 @@ class TestBenchSuite:
             "vdn_shared_lbf10",
             "qmix_rware",
             "qmix_smaclite_3m",
+            "qmix_smaclite_mmm2_big",
             "idqn_rnn_lbf",
             "idqn_rnn_lbf_scan",
         }
+
+    def test_analytic_flops_model(self):
+        """The analytic matmul count must match a hand computation — it is
+        the MFU numerator (XLA cost analysis counts scan bodies once, so the
+        compiled-chunk flops under-count rollouts by ~T x; round-4 fix)."""
+        from codebase_tpu.bench_suite import _fwd_macs_per_row, analytic_flops_per_iter
+        from codebase_tpu.config import load_config
+        from codebase_tpu.envs.factory import make_env
+
+        # MLP 15 -> 128 -> 128 -> 5: chain of three matmuls
+        assert _fwd_macs_per_row(15, (128, 128), 5, False) == (
+            15 * 128 + 128 * 128 + 128 * 5
+        )
+        # GRU: first 15->64, one layer (w_ih 64x192 + w_hh 64x192), final 64->5
+        assert _fwd_macs_per_row(15, (64,), 5, True) == (
+            15 * 64 + 64 * 3 * 64 * 2 + 64 * 5
+        )
+
+        cfg = load_config(
+            [
+                "+algorithm=idqn",
+                "env.name=lbforaging:Foraging-5x5-2p-1f-v3",
+                "env.time_limit=5",
+                "algorithm.parallel_envs=8",
+                "algorithm.batch_size=4",
+            ]
+        )
+        env = make_env("lbforaging:Foraging-5x5-2p-1f-v3", time_limit=5)
+        fl = analytic_flops_per_iter(env, cfg.algorithm, 5, n_envs=8, n_updates=2)
+        per_row = sum(
+            _fwd_macs_per_row(env.obs_dims[i], (128, 128), env.action_dims[i], False)
+            for i in range(env.n_agents)
+        )
+        expected = 5 * 8 * per_row * 2 + 2 * 4 * 6 * per_row * 2 * 4
+        assert fl == float(expected)
+        # AC family: no analytic model (falls back to compiled estimate)
+        ac_cfg = load_config(["+algorithm=ia2c", "env.name=x", "env.time_limit=5"])
+        assert (
+            analytic_flops_per_iter(env, ac_cfg.algorithm, 5, 8, 2) is None
+            if ac_cfg.algorithm.model.get("name", "a2c") not in ("qnetwork", "vdn", "qmix")
+            else True
+        )
 
     def test_run_config_scaled_down(self, monkeypatch):
         tiny = dict(
