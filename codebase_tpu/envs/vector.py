@@ -145,8 +145,45 @@ def collect_episodes(
         return (new_states, new_ts, still_running, pol_carry), out
 
     running0 = jnp.ones((n_envs,), bool)
-    (_, _, _, pol_carry), traj = jax.lax.scan(
-        step_fn, (states, ts0, running0, policy_carry), jax.random.split(k_scan, time_limit)
+    keys = jax.random.split(k_scan, time_limit)  # same stream as a scan over xs
+
+    # Early-exit time loop: a `lax.scan` would execute all T steps even after
+    # every episode has terminated, and short-episode envs make that pure
+    # waste (SMAClite 3m at 16k envs: max episode length ~41 of T=60 — a
+    # third of the rollout compute, round-4 profiling). A while_loop writing
+    # into preallocated (T, ...) buffers is bit-identical — finished envs
+    # record zeros (mask: ones) exactly like the masked scan did, unreached
+    # timesteps keep the identical initial values, and the per-step RNG keys
+    # are the same presplit array a scan would consume — but stops at the
+    # first step where no env is running.
+    traj0 = dict(
+        obs=jnp.zeros((time_limit,) + ts0.obs.shape, ts0.obs.dtype),
+        actions=jnp.zeros((time_limit, n_envs) + ts0.obs.shape[1:2], jnp.int32),
+        rewards=jnp.zeros((time_limit,) + ts0.reward.shape, jnp.float32),
+        stat_rewards=jnp.zeros((time_limit,) + ts0.reward.shape, jnp.float32),
+        dones=jnp.zeros((time_limit, n_envs), jnp.float32),
+        filled=jnp.zeros((time_limit, n_envs), jnp.float32),
+        action_mask=jnp.ones((time_limit,) + ts0.action_mask.shape, ts0.action_mask.dtype),
+    )
+
+    def cond(loop):
+        t, carry, _ = loop
+        running = carry[2]
+        return (t < time_limit) & jnp.any(running)
+
+    def body(loop):
+        t, carry, traj = loop
+        carry, out = step_fn(carry, keys[t])
+        traj = {
+            k: jax.lax.dynamic_update_slice(
+                buf, out[k][None].astype(buf.dtype), (t,) + (0,) * (buf.ndim - 1)
+            )
+            for k, buf in traj.items()
+        }
+        return t + 1, carry, traj
+
+    _, (_, _, _, pol_carry), traj = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), (states, ts0, running0, policy_carry), traj0)
     )
 
     rollout = Rollout(

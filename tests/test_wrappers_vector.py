@@ -295,3 +295,32 @@ class TestAutoReset:
             states, ts = step(states, actions, k2)
         # time-limit wrapper state must have been reset at least once
         assert int(np.asarray(states.t).max()) <= 25
+
+
+class TestEarlyExitCollection:
+    def test_early_exit_matches_longer_cap(self):
+        """collect_episodes stops stepping once every env has terminated
+        (round-4 while_loop early exit). Raising the time cap far past the
+        longest episode must change NOTHING in the recorded prefix — the
+        unreached tail stays at the masked-scan fill values (zeros; mask
+        ones) — because finished envs were already recording exactly that.
+        Uses SMAClite 3m, whose combat always resolves well before the cap
+        (round-4 measurement: max length ~41 of T=60 over 16k envs)."""
+        env = make_env("smaclite:3m-v0", time_limit=60)
+        r1, _ = collect_episodes(
+            env, random_policy(env.n_actions), None, jax.random.PRNGKey(3), 16, 60
+        )
+        lengths = np.asarray(r1.episode_lengths)
+        assert lengths.max() < 60, "need early-terminating episodes for this test"
+        # every step at or past the longest episode was never executed:
+        # zero rewards/filled/dones everywhere in the tail
+        tmax = int(lengths.max())
+        assert float(np.abs(np.asarray(r1.filled)[tmax:]).sum()) == 0.0
+        assert float(np.abs(np.asarray(r1.rewards)[tmax:]).sum()) == 0.0
+        assert float(np.abs(np.asarray(r1.obs)[tmax + 1 :]).sum()) == 0.0
+        assert np.all(np.asarray(r1.action_mask)[tmax + 1 :] == 1.0)
+        # per-env: nothing recorded past each episode's own end either
+        filled = np.asarray(r1.filled)
+        for e in range(16):
+            L = int(lengths[e])
+            assert np.all(filled[L:, e] == 0.0)
