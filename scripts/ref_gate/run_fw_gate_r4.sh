@@ -7,7 +7,7 @@
 # answers, and retries the run.
 cd /root/repo
 mkdir -p outputs/fw_gate_r4
-STALL_S=300
+STALL_S=1200
 
 probe() {
   for i in 1 2 3 4 5; do
