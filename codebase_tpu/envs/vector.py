@@ -72,6 +72,7 @@ def collect_episodes(
     time_limit: int,
     use_proper_termination: bool = False,
     env_sharding=None,
+    early_exit="auto",
 ):
     """Collect one full (padded) episode from each of `n_envs` instances.
 
@@ -87,10 +88,22 @@ def collect_episodes(
         time_limit: maximum episode length T (scan length).
         use_proper_termination: when False (the reference default), truncation
             is recorded as termination for the learner.
+        early_exit: stop the time loop at the first step with no running
+            episode (lax.while_loop over preallocated buffers) instead of a
+            fixed-length lax.scan. Bit-identical outputs either way (the
+            scan's running mask records exactly the buffers' fill values).
+            "auto" enables it only for wide env batches (E >= 512), where
+            round-4 profiling showed the win (SMAClite 16k envs: max episode
+            ~41 of T=60 — a third of rollout compute was finished-env
+            stepping, +23% env-steps/s); at small E the while_loop's
+            per-step overhead measured far above the scan's (the E=1
+            reference-cadence gate lane ran ~9x slower), so scan stays.
 
     Returns:
         (Rollout, final policy carry)
     """
+    if early_exit == "auto":
+        early_exit = n_envs >= 512
     def constrain(ts):
         """Pin the leading env axis of every TimeStep field to the mesh's
         data axis; GSPMD propagates the sharding through the batched step
@@ -145,46 +158,56 @@ def collect_episodes(
         return (new_states, new_ts, still_running, pol_carry), out
 
     running0 = jnp.ones((n_envs,), bool)
-    keys = jax.random.split(k_scan, time_limit)  # same stream as a scan over xs
+    keys = jax.random.split(k_scan, time_limit)  # same stream either path
 
-    # Early-exit time loop: a `lax.scan` would execute all T steps even after
-    # every episode has terminated, and short-episode envs make that pure
-    # waste (SMAClite 3m at 16k envs: max episode length ~41 of T=60 — a
-    # third of the rollout compute, round-4 profiling). A while_loop writing
-    # into preallocated (T, ...) buffers is bit-identical — finished envs
-    # record zeros (mask: ones) exactly like the masked scan did, unreached
-    # timesteps keep the identical initial values, and the per-step RNG keys
-    # are the same presplit array a scan would consume — but stops at the
-    # first step where no env is running.
-    traj0 = dict(
-        obs=jnp.zeros((time_limit,) + ts0.obs.shape, ts0.obs.dtype),
-        actions=jnp.zeros((time_limit, n_envs) + ts0.obs.shape[1:2], jnp.int32),
-        rewards=jnp.zeros((time_limit,) + ts0.reward.shape, jnp.float32),
-        stat_rewards=jnp.zeros((time_limit,) + ts0.reward.shape, jnp.float32),
-        dones=jnp.zeros((time_limit, n_envs), jnp.float32),
-        filled=jnp.zeros((time_limit, n_envs), jnp.float32),
-        action_mask=jnp.ones((time_limit,) + ts0.action_mask.shape, ts0.action_mask.dtype),
-    )
+    if early_exit:
+        # Early-exit time loop: a `lax.scan` would execute all T steps even
+        # after every episode has terminated, and short-episode envs make
+        # that pure waste (SMAClite 3m at 16k envs: max episode length ~41
+        # of T=60 — a third of the rollout compute, round-4 profiling). A
+        # while_loop writing into preallocated (T, ...) buffers is
+        # bit-identical — finished envs record zeros (mask: ones) exactly
+        # like the masked scan did, unreached timesteps keep the identical
+        # initial values, and the per-step RNG keys are the same presplit
+        # array a scan would consume — but stops at the first step where no
+        # env is running.
+        traj0 = dict(
+            obs=jnp.zeros((time_limit,) + ts0.obs.shape, ts0.obs.dtype),
+            actions=jnp.zeros((time_limit, n_envs) + ts0.obs.shape[1:2], jnp.int32),
+            rewards=jnp.zeros((time_limit,) + ts0.reward.shape, jnp.float32),
+            stat_rewards=jnp.zeros((time_limit,) + ts0.reward.shape, jnp.float32),
+            dones=jnp.zeros((time_limit, n_envs), jnp.float32),
+            filled=jnp.zeros((time_limit, n_envs), jnp.float32),
+            action_mask=jnp.ones(
+                (time_limit,) + ts0.action_mask.shape, ts0.action_mask.dtype
+            ),
+        )
 
-    def cond(loop):
-        t, carry, _ = loop
-        running = carry[2]
-        return (t < time_limit) & jnp.any(running)
+        def cond(loop):
+            t, carry, _ = loop
+            running = carry[2]
+            return (t < time_limit) & jnp.any(running)
 
-    def body(loop):
-        t, carry, traj = loop
-        carry, out = step_fn(carry, keys[t])
-        traj = {
-            k: jax.lax.dynamic_update_slice(
-                buf, out[k][None].astype(buf.dtype), (t,) + (0,) * (buf.ndim - 1)
-            )
-            for k, buf in traj.items()
-        }
-        return t + 1, carry, traj
+        def body(loop):
+            t, carry, traj = loop
+            carry, out = step_fn(carry, keys[t])
+            traj = {
+                k: jax.lax.dynamic_update_slice(
+                    buf, out[k][None].astype(buf.dtype), (t,) + (0,) * (buf.ndim - 1)
+                )
+                for k, buf in traj.items()
+            }
+            return t + 1, carry, traj
 
-    _, (_, _, _, pol_carry), traj = jax.lax.while_loop(
-        cond, body, (jnp.asarray(0, jnp.int32), (states, ts0, running0, policy_carry), traj0)
-    )
+        _, (_, _, _, pol_carry), traj = jax.lax.while_loop(
+            cond,
+            body,
+            (jnp.asarray(0, jnp.int32), (states, ts0, running0, policy_carry), traj0),
+        )
+    else:
+        (_, _, _, pol_carry), traj = jax.lax.scan(
+            step_fn, (states, ts0, running0, policy_carry), keys
+        )
 
     rollout = Rollout(
         obs=jnp.concatenate([ts0.obs[None], traj["obs"]], axis=0),

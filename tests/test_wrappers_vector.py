@@ -308,7 +308,8 @@ class TestEarlyExitCollection:
         (round-4 measurement: max length ~41 of T=60 over 16k envs)."""
         env = make_env("smaclite:3m-v0", time_limit=60)
         r1, _ = collect_episodes(
-            env, random_policy(env.n_actions), None, jax.random.PRNGKey(3), 16, 60
+            env, random_policy(env.n_actions), None, jax.random.PRNGKey(3), 16, 60,
+            early_exit=True,
         )
         lengths = np.asarray(r1.episode_lengths)
         assert lengths.max() < 60, "need early-terminating episodes for this test"
