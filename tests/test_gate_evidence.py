@@ -80,3 +80,24 @@ class TestRound2Historical:
         expected = {"idqn": (0.626, 0.559), "ia2c": (0.825, 0.802)}[algo]
         assert abs(result["ref_mean"] - expected[0]) < 0.01, result
         assert abs(result["fw_mean"] - expected[1]) < 0.01, result
+
+
+class TestRound4Strict:
+    """Round-4 evidence: the previously-ungated algorithms trained
+    head-to-head against the reference's unmodified torch stacks (5
+    seeds/side, strict). vdn/qmix ran 1M steps/side (matched budgets — the
+    ~1.4k-FPS torch DQN family made 2M x 5 x 2 unaffordable in-round);
+    AC-family runs use the full 2M."""
+
+    def _strict(self, algo, n=5, tail=5):
+        ref = _load("ref_r4", algo)
+        fw = _load("fw_r4", algo)
+        assert len(ref) == n and len(fw) == n, f"{n} seeds per side for {algo}"
+        result = compare_gate.compare(algo, ref, fw, tail=tail, abs_slack=0.0)
+        assert result["within_seed_variance"], result
+        return result
+
+    def test_vdn_csv_gate_passes_strict(self):
+        result = self._strict("vdn")
+        assert abs(result["ref_mean"] - 0.1094) < 0.01, result
+        assert abs(result["fw_mean"] - 0.1162) < 0.01, result
