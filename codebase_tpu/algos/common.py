@@ -8,13 +8,24 @@ import optax
 
 
 def make_optimizer(
-    name: str, lr: float, grad_clip=False, inject_lr: bool = False
+    name: str, lr: float, grad_clip=False, inject_lr: bool = False, clip_mask=None
 ) -> optax.GradientTransformation:
     """Build the optimizer; torch-default hyperparameters.
 
     The reference resolves the optimizer by name from torch.optim
     (`dqn/model.py:66-71`) and clips gradients by global norm before the step
     (`dqn/model.py:169-170`) — here clipping composes into the optax chain.
+
+    `clip_mask` (a pytree-prefix of bools, or a callable params->mask)
+    restricts BOTH the norm computation and the scaling to the masked
+    subtree; unmasked leaves pass through unclipped. This reproduces the
+    reference's exact clip scope: `clip_grad_norm_(self.critic.parameters(),
+    ...)` touches ONLY the critic — the QMIX mixer's gradients are neither
+    counted in the norm nor clipped (`dqn/model.py:170`), even though the
+    mixer trains through the same optimizer (`dqn/model.py:370-372`).
+    Replicating that scope closed a real learning-dynamics divergence found
+    by the round-4 QMIX gate (fw with whole-tree clipping lifted off on
+    seeds where the reference stays flat).
 
     With `inject_lr` the learning rate lives in the optimizer STATE
     (`optax.inject_hyperparams`) instead of being baked into the compiled
@@ -36,7 +47,10 @@ def make_optimizer(
         else:
             raise ValueError(f"unknown optimizer {name!r}")
         if grad_clip:
-            return optax.chain(optax.clip_by_global_norm(float(grad_clip)), opt)
+            clip = optax.clip_by_global_norm(float(grad_clip))
+            if clip_mask is not None:
+                clip = optax.masked(clip, clip_mask)
+            return optax.chain(clip, opt)
         return opt
 
     if inject_lr:

@@ -296,8 +296,19 @@ def build_train_functions(
     updates_per_collect = acfg.get("updates_per_collect", "auto")
     n_updates = n_envs if updates_per_collect == "auto" else int(updates_per_collect)
     tau = float(acfg.target_update_interval_or_tau)
+    # reference clip scope: clip_grad_norm_ touches ONLY critic.parameters()
+    # (`dqn/model.py:170`) — the QMIX mixer trains through the same Adam but
+    # its gradients are never clipped nor counted in the norm. Whole-tree
+    # clipping measurably changes QMIX learning dynamics (round-4 gate).
+    clip_mask = (
+        {"critic": True, "mixer": False} if model.mixer is not None else None
+    )
     opt = make_optimizer(
-        acfg.optimizer, float(acfg.lr), acfg.grad_clip, inject_lr="lr" in dynamic_hypers
+        acfg.optimizer,
+        float(acfg.lr),
+        acfg.grad_clip,
+        inject_lr="lr" in dynamic_hypers,
+        clip_mask=clip_mask,
     )
     hyper_defaults = {
         "lr": float(acfg.lr),
