@@ -101,3 +101,8 @@ class TestRound4Strict:
         result = self._strict("vdn")
         assert abs(result["ref_mean"] - 0.1094) < 0.01, result
         assert abs(result["fw_mean"] - 0.1162) < 0.01, result
+
+    def test_mappo_csv_gate_passes_strict(self):
+        result = self._strict("mappo")
+        assert abs(result["ref_mean"] - 0.8837) < 0.01, result
+        assert abs(result["fw_mean"] - 0.8598) < 0.01, result
