@@ -149,3 +149,20 @@ class TestRound4Strict:
         assert result["within_seed_variance"], result
         assert abs(result["ref_mean"] - 0.8189) < 0.01, result
         assert abs(result["fw_mean"] - 0.8140) < 0.01, result
+
+    def test_qmix_csv_gate_passes_strict_with_reference_clip_scope(self):
+        """QMIX passes strict AFTER replicating the reference's critic-only
+        grad-clip scope (see COMPARISON.md round-4 'QMIX' section; the
+        pre-fix diverging curves are kept in fw_r4_qmix_preclipfix/)."""
+        result = self._strict("qmix")
+        assert abs(result["ref_mean"] - 0.0315) < 0.005, result
+        assert abs(result["fw_mean"] - 0.0268) < 0.005, result
+
+    def test_qmix_prefix_evidence_reproduces_the_divergence(self):
+        """The pre-fix record must keep showing the divergence the clip
+        scope caused (fw lifts off, ref flat) — it is the diagnosis pin."""
+        ref = _load("ref_r4", "qmix")
+        fw = _load("fw_r4_qmix_preclipfix", "qmix")
+        result = compare_gate.compare("qmix", ref, fw, tail=5, abs_slack=0.0)
+        assert not result["within_seed_variance"], result
+        assert result["fw_mean"] > result["ref_mean"], result
