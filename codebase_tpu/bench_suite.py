@@ -200,18 +200,20 @@ def _fwd_macs_per_row(input_size: int, hidden: tuple, output_size: int, use_rnn)
     return input_size * H + len(hidden) * (H * g * H * 2) + H * output_size
 
 
-def analytic_flops_per_iter(env, acfg, time_limit: int, n_envs: int, n_updates: int):
-    """Matmul-only FLOPs executed per train iteration, from the config's
-    static shapes — the honest MFU numerator.
+def analytic_flops(env, acfg, time_limit: int, n_updates: int):
+    """Matmul-only useful-FLOPs model — the honest MFU numerator.
 
-    XLA's cost analysis counts a `lax.scan`/while body ONCE, not x length,
-    so the compiled-chunk "flops" field under-counts rollouts by ~T x and
-    updates by ~n_updates x (this skewed every round-3 MFU figure; VERDICT
-    r3 weak #5). This model counts what the device executes: the rollout
-    scans all T steps for every env (finished episodes included — that is
-    real executed work), and each update runs online fwd + target fwd +
-    backward (~2x fwd) over (T+1) x batch rows. DQN family only; AC configs
-    return None and fall back to the compiled estimate.
+    Returns (rollout_flops_per_env_step, update_flops_per_iteration) or
+    None for the AC family. MFU counts USEFUL model flops: the rollout term
+    is per *collected* env step (finished/early-exited envs' padding work is
+    real execution but not model throughput — `collect_episodes` early-exit
+    makes most of it vanish anyway), and each update runs online fwd +
+    target fwd + backward (~2x fwd) over (T+1) x batch rows.
+
+    Exists because XLA's cost analysis counts a `lax.scan`/while body ONCE,
+    not x length, so the compiled-chunk "flops" field under-counts rollouts
+    by ~T x and updates by ~n_updates x (this skewed every round-3 MFU
+    figure; VERDICT r3 weak #5).
     """
     model_cfg = acfg.model
     name = model_cfg.get("name", "qnetwork")
@@ -225,9 +227,8 @@ def analytic_flops_per_iter(env, acfg, time_limit: int, n_envs: int, n_updates: 
     )
     T = time_limit
     B = int(acfg.batch_size)
-    rollout = T * n_envs * per_row * 2
+    rollout_per_step = per_row * 2
     update = n_updates * B * (T + 1) * per_row * 2 * 4  # online+target+bwd(2x)
-    mixer = 0
     if name == "qmix":
         mx = model_cfg.mixing
         S = sum(env.obs_dims)
@@ -237,8 +238,8 @@ def analytic_flops_per_iter(env, acfg, time_limit: int, n_envs: int, n_updates: 
         hw1 = (S * hemb + hemb * N * emb) if layered else S * N * emb
         hw2 = (S * hemb + hemb * emb) if layered else S * emb
         per_tb = hw1 + hw2 + S * emb + (S * emb + emb) + (N * emb + emb)
-        mixer = n_updates * B * T * per_tb * 2 * 4 * 2  # online+target mixers
-    return float(rollout + update + mixer)
+        update += n_updates * B * T * per_tb * 2 * 4 * 2  # online+target mixers
+    return float(rollout_per_step), float(update)
 
 
 def chip_peak_flops() -> float | None:
@@ -280,7 +281,7 @@ def run_config(key: str, windows: int = 3, window_iters: int = 16) -> dict:
     upc = cfg.algorithm.get("updates_per_collect", "auto")
     n_updates = n_envs if upc == "auto" else int(upc)
     analytic = (
-        analytic_flops_per_iter(env, cfg.algorithm, spec["time_limit"], n_envs, n_updates)
+        analytic_flops(env, cfg.algorithm, spec["time_limit"], n_updates)
         if spec["algo"] in DQN_FAMILY
         else None
     )
@@ -297,7 +298,7 @@ def run_config(key: str, windows: int = 3, window_iters: int = 16) -> dict:
     # slow path over the axon tunnel; device_get syncs cleanly
     s0 = int(jax.device_get(state.env_steps))
 
-    best_rate, best_dt = 0.0, float("inf")
+    best_rate, best_dt, best_steps = 0.0, float("inf"), 1
     for _ in range(windows):
         t0 = time.time()
         state = chunk(state)
@@ -306,16 +307,23 @@ def run_config(key: str, windows: int = 3, window_iters: int = 16) -> dict:
         steps = int(jax.device_get(state.env_steps)) - s0  # fetched UNtimed
         s0 = steps + s0
         if steps / dt > best_rate:
-            best_rate, best_dt = steps / dt, dt
+            best_rate, best_dt, best_steps = steps / dt, dt, steps
 
     peak = chip_peak_flops()
     peak_bw = chip_peak_bandwidth()
     # compiled-chunk flops: XLA cost analysis counts scan bodies once (NOT
     # x length) — kept only as a lower-bound diagnostic. MFU uses the
-    # analytic matmul count (see `analytic_flops_per_iter`) when available.
+    # analytic matmul count (see `analytic_flops`) when available.
     flops_per_s = flops_per_chunk / best_dt if flops_per_chunk else None
     bytes_per_s = bytes_per_chunk / best_dt if bytes_per_chunk else None
-    analytic_per_s = analytic * window_iters / best_dt if analytic else None
+    if analytic:
+        roll_per_step, upd_per_iter = analytic
+        # useful model flops in the best window: rollout counts only
+        # COLLECTED steps (early-exited padding is not model throughput)
+        analytic_window = roll_per_step * best_steps + upd_per_iter * window_iters
+        analytic_per_s = analytic_window / best_dt
+    else:
+        analytic_window = analytic_per_s = None
     mfu_src = "analytic_matmul" if analytic_per_s else "compiled_lower_bound"
     mfu_flops = analytic_per_s or flops_per_s
     out = {
@@ -326,8 +334,8 @@ def run_config(key: str, windows: int = 3, window_iters: int = 16) -> dict:
         "flops_per_step": round(flops_per_chunk / max(steps, 1), 1)
         if flops_per_chunk
         else None,
-        "analytic_flops_per_step": round(analytic * window_iters / max(steps, 1), 1)
-        if analytic
+        "analytic_flops_per_step": round(analytic_window / max(best_steps, 1), 1)
+        if analytic_window
         else None,
         "bytes_per_step": round(bytes_per_chunk / max(steps, 1), 1)
         if bytes_per_chunk

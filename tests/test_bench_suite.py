@@ -24,7 +24,7 @@ class TestBenchSuite:
         """The analytic matmul count must match a hand computation — it is
         the MFU numerator (XLA cost analysis counts scan bodies once, so the
         compiled-chunk flops under-count rollouts by ~T x; round-4 fix)."""
-        from codebase_tpu.bench_suite import _fwd_macs_per_row, analytic_flops_per_iter
+        from codebase_tpu.bench_suite import _fwd_macs_per_row, analytic_flops
         from codebase_tpu.config import load_config
         from codebase_tpu.envs.factory import make_env
 
@@ -47,17 +47,17 @@ class TestBenchSuite:
             ]
         )
         env = make_env("lbforaging:Foraging-5x5-2p-1f-v3", time_limit=5)
-        fl = analytic_flops_per_iter(env, cfg.algorithm, 5, n_envs=8, n_updates=2)
+        roll_per_step, upd_per_iter = analytic_flops(env, cfg.algorithm, 5, n_updates=2)
         per_row = sum(
             _fwd_macs_per_row(env.obs_dims[i], (128, 128), env.action_dims[i], False)
             for i in range(env.n_agents)
         )
-        expected = 5 * 8 * per_row * 2 + 2 * 4 * 6 * per_row * 2 * 4
-        assert fl == float(expected)
+        assert roll_per_step == float(per_row * 2)
+        assert upd_per_iter == float(2 * 4 * 6 * per_row * 2 * 4)
         # AC family: no analytic model (falls back to compiled estimate)
         ac_cfg = load_config(["+algorithm=ia2c", "env.name=x", "env.time_limit=5"])
         assert (
-            analytic_flops_per_iter(env, ac_cfg.algorithm, 5, 8, 2) is None
+            analytic_flops(env, ac_cfg.algorithm, 5, 2) is None
             if ac_cfg.algorithm.model.get("name", "a2c") not in ("qnetwork", "vdn", "qmix")
             else True
         )
