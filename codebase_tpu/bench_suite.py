@@ -149,9 +149,12 @@ CONFIGS = {
         ],
     ),
     # Recurrent IDQN: BPTT through the GRU over whole episodes. batch_size
-    # 1024 sits INSIDE the fused-kernel auto envelope (T=25, 768<=B<=1280 at
-    # H=128 — `models/networks.py:_fused_mode`), so the BPTT updates run the
-    # pallas recurrence on TPU; the rollout (T=1 steps) always scans.
+    # 2048 sits inside the round-4 interleaved kernel's measured-win strip
+    # (12H < B <= 24H at H=128 — `models/networks.py:_fused_mode`; +14%
+    # full-layer BPTT vs scan, `scripts/rnn_kernel_bench.py`), so the BPTT
+    # updates run the pallas recurrence on TPU; the rollout (T=1 steps)
+    # always scans. (Round 2-3 tracked B=1024, where the round-4 kernel
+    # measures ~parity with scan — the win moved up with the redesign.)
     "idqn_rnn_lbf": dict(
         algo="idqn",
         env="lbforaging:Foraging-8x8-2p-3f-v3",
@@ -159,7 +162,7 @@ CONFIGS = {
         overrides=[
             "algorithm.model.use_rnn=true",
             "algorithm.parallel_envs=32768",
-            "algorithm.batch_size=1024",
+            "algorithm.batch_size=2048",
             "algorithm.updates_per_collect=8",
             "algorithm.buffer_size=65536",
             "algorithm.training_start=0",
@@ -176,7 +179,7 @@ CONFIGS = {
             "algorithm.model.use_rnn=true",
             "algorithm.model.fused_rnn=off",
             "algorithm.parallel_envs=32768",
-            "algorithm.batch_size=1024",
+            "algorithm.batch_size=2048",
             "algorithm.updates_per_collect=8",
             "algorithm.buffer_size=65536",
             "algorithm.training_start=0",

@@ -323,22 +323,23 @@ class RNNSpec:
             )
             return "compiled"
         # auto: only inside the measured-win envelope (see docstring). The
-        # upper bound is derived from the SAME arithmetic as the kernel's
-        # batch tiling (`ops/fused_gru._batch_tile`): engage only while ONE
-        # batch tile holds the whole batch for the backward working set
-        # (8H streamed f32/row, double-buffered) — beyond that the backward
-        # must tile and XLA's full-width scan measured faster. At H=128 this
-        # reproduces the measured 768..1280 window; at other H it scales
-        # with the VMEM budget instead of growing linearly with H.
-        from codebase_tpu.ops.fused_gru import _batch_tile
-
-        one_tile_bwd = _batch_tile(B, self.hidden_size, 8 * self.hidden_size) >= B
+        # round-4 interleaved kernel (time-outer grid, VMEM-resident
+        # carries, K-step unroll — `ops/fused_gru.py`) moved the window UP:
+        # it no longer collapses past one backward tile (round-3 layout at
+        # T=25 H=128 B=2048: 15.2ms vs scan 6.4ms; interleaved: beats scan)
+        # but it also erased the old sub-1280 win (B=1024 now measures
+        # ~parity with scan, 0.97x). Uncontended full-layer BPTT
+        # (`scripts/rnn_kernel_bench.py`, one v5e chip): B=1536 0.98x,
+        # B=2048 1.14x, B=4096 0.75x — engage only in the strip around
+        # 16*H where the win is real; everywhere else XLA's scan is equal
+        # or better and is the safer default. (Caution from round 4: a
+        # CPU-contended session inflated scan's dispatch cost 3x and made
+        # the kernel look 1.9x faster — believe only uncontended numbers.)
         if (
             jax.default_backend() == "tpu"
             and aligned
             and 2 <= T <= 32
-            and B >= 6 * self.hidden_size
-            and one_tile_bwd
+            and 12 * self.hidden_size < B <= 24 * self.hidden_size
         ):
             return "compiled"
         return False

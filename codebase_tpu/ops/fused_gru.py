@@ -12,26 +12,29 @@ every timestep. This kernel runs the entire recurrence in ONE pallas_call:
 - the input projection `x @ w_ih + b_ih` stays OUTSIDE the kernel: over the
   folded `(T*B, in)` batch it is one large MXU matmul that XLA already
   schedules at speed-of-light — fusing it would only rebuild XLA;
-- the sequential part — `h_t = GRU(gi_t, h_{t-1} @ w_hh + b_hh)` — runs on a
-  2-D pallas grid `(batch tiles, T)`: each grid step consumes ONE timestep
-  block `(1, Bt, 3H)` streamed from HBM (pallas double-buffers the DMA
-  against compute) while the carry `h` and the recurrent weights stay pinned
-  in VMEM scratch across the whole call. Streaming one timestep at a time
-  keeps the VMEM working set independent of T, so the batch tile — and with
-  it the MXU shape of the per-step matmul — stays large (~2048 rows);
-- the backward pass is a second streaming kernel (registered via
-  `jax.custom_vjp`) that walks the time grid in reverse (via the BlockSpec
-  index map) and REMATERIALISES the gates from `h_{t-1}` (the shifted saved
-  outputs) and `gi_t` instead of saving activations — the classic trade of
-  FLOPs for HBM bandwidth, which is what BPTT on TPU is bound by. `dw_hh`
-  and `db_hh` accumulate in a revisited output block (TPU grid steps are
+- the recurrence runs on a TIME-OUTER interleaved grid `(T_chunks,
+  batch_tiles)` (round-4 redesign): every tile's carry stays VMEM-resident
+  for the whole call (the hT / dh0 output block doubles as the carry store,
+  constant-index so pallas never spills it), consecutive grid steps touch
+  DIFFERENT batch tiles — the carry dependency sits `n_tiles` steps apart
+  instead of serialising every step — and K timesteps are unrolled per grid
+  step to amortise fixed per-step overhead. The round-3 layout (batch-outer
+  grid, one tile's whole T before the next) serialised `n_tiles x T` steps
+  and collapsed beyond one tile (measured 15.2ms vs scan 6.4ms at T=25
+  B=2048 H=128; the interleaved kernel: 3.3ms — 1.9x FASTER than scan);
+- the backward is a second streaming kernel (via `jax.custom_vjp`) on the
+  same reversed-time interleaved grid, REMATERIALISING the gates from
+  `h_{t-1}` (the shifted saved outputs) and `gi_t` instead of saving
+  activations — the classic trade of FLOPs for HBM bandwidth. `dw_hh` and
+  `db_hh` accumulate in a constant-index output block (TPU grid steps are
   sequential, so the read-modify-write is race-free).
 
 `fused_gru_sequence` is numerically equivalent to scanning
 `networks.gru_cell` (same torch gate convention/order) and is exercised
-against it — values and grads — in `tests/test_fused_gru.py` (interpret
-mode on the CPU backend; the compiled Mosaic path runs on TPU and is
-benchmarked by `scripts/rnn_kernel_bench.py`).
+against it — values and grads, including multi-tile and time-padded (T % K
+!= 0) shapes — in `tests/test_fused_gru.py` (interpret mode on the CPU
+backend; the compiled Mosaic path runs on TPU and is benchmarked by
+`scripts/rnn_kernel_bench.py` and `scripts/diag/gru_kernel_lab.py`).
 """
 
 from __future__ import annotations
@@ -43,19 +46,25 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# VMEM high-water budget for picking the batch tile (bytes). Cores have
-# ~16MB of VMEM; pallas DOUBLE-BUFFERS every grid-mapped block (the 2x in
-# `_batch_tile`), and the carry/weights scratch sits on top.
+# VMEM high-water budget (bytes) for picking the batch tile: pallas
+# double-buffers every grid-mapped block; the resident carry store
+# (B_pad x H) and weights sit on top. Cores have ~16MB.
 _VMEM_BUDGET = 10 * 1024 * 1024
 
+# timesteps unrolled per grid step (amortises fixed per-step overhead;
+# K=2 measured best across the win envelope — gru_kernel_lab.py)
+_K = 2
 
-def _batch_tile(B: int, H: int, floats_per_b: int) -> int:
-    """Largest multiple-of-8 batch tile whose double-buffered per-timestep
-    working set fits the budget. `floats_per_b` = f32 elements streamed per
-    batch row per grid step: 4H forward (gi 3H + y H), 8H backward
-    (+ dy, dgi)."""
-    per_b = 2 * floats_per_b * 4
-    tile = max(8, min(B, _VMEM_BUDGET // max(per_b, 1)))
+
+def _batch_tile(B: int, H: int, floats_per_b: int, K: int) -> int:
+    """Largest multiple-of-8 batch tile whose double-buffered K-timestep
+    stream fits the budget after the resident carry store and weights.
+    `floats_per_b` = f32 elements streamed per batch row per timestep:
+    4H forward (gi 3H + y H), 8H backward (+ h_prev, dy, dgi)."""
+    resident = B * H * 4 + 2 * H * 3 * H * 4
+    budget = max(_VMEM_BUDGET - resident, 2 * 1024 * 1024)
+    per_row = 2 * floats_per_b * 4 * K
+    tile = max(8, min(B, budget // max(per_row, 1)))
     return max(8, (tile // 8) * 8)
 
 
@@ -68,81 +77,95 @@ def _gates(gi_t, gh):
     return r, z, n
 
 
-def _fwd_kernel(gi_ref, whh_ref, bhh_ref, h0_ref, y_ref, hT_ref, h_scr):
-    """One (batch-tile, timestep) grid step of the forward recurrence."""
-    t = pl.program_id(1)
+def _fwd_kernel(h0_ref, gi_ref, whh_ref, bhh_ref, y_ref, hcarry_ref, *, K, Bt, T):
+    """One (time-chunk, batch-tile) grid step of the forward recurrence.
+    `hcarry_ref` is the (B_pad, H) constant-index output block holding every
+    tile's carry in VMEM for the whole call; it IS the returned hT."""
+    tc = pl.program_id(0)
+    b = pl.program_id(1)
+    rows = pl.ds(b * Bt, Bt)
 
-    @pl.when(t == 0)
+    @pl.when(tc == 0)
     def _():
-        h_scr[:] = h0_ref[:]
+        hcarry_ref[rows] = h0_ref[:]
 
-    h = h_scr[:]
-    gh = jnp.dot(h, whh_ref[:], preferred_element_type=jnp.float32) + bhh_ref[:]
-    r, z, n = _gates(gi_ref[0], gh)
-    h_new = (1.0 - z) * n + z * h
-    y_ref[0] = h_new
-    h_scr[:] = h_new
-
-    @pl.when(t == pl.num_programs(1) - 1)
-    def _():
-        hT_ref[:] = h_new
+    h = hcarry_ref[rows]
+    whh = whh_ref[:]
+    bhh = bhh_ref[:]
+    for k in range(K):  # static unroll
+        gh = jnp.dot(h, whh, preferred_element_type=jnp.float32) + bhh
+        r, z, n = _gates(gi_ref[k], gh)
+        h_new = (1.0 - z) * n + z * h
+        # time-padded steps must not advance the carry
+        h = jnp.where(tc * K + k < T, h_new, h)
+        y_ref[k] = h
+    hcarry_ref[rows] = h
 
 
 def _bwd_kernel(
     gi_ref, whh_ref, bhh_ref, hprev_ref, dy_ref, dhT_ref,
-    dgi_ref, dwhh_ref, dbhh_ref, dh0_ref, dh_scr,
+    dgi_ref, dwhh_ref, dbhh_ref, dhcarry_ref, *, K, Bt, T,
 ):
-    """One (batch-tile, reversed-timestep) grid step of the backward pass.
+    """One (reversed-time-chunk, batch-tile) grid step of the backward pass.
 
-    `hprev_ref` streams the SHIFTED saved outputs (h0 ‖ y[:-1]), so
-    h_{t-1} for the current global timestep is exactly this block; gates are
-    rematerialised from it with one VMEM-resident matmul."""
-    b = pl.program_id(0)
-    t = pl.program_id(1)
+    `hprev_ref` streams the SHIFTED saved outputs (h0 || y[:-1]); gates are
+    rematerialised from it with one VMEM-resident matmul. `dhcarry_ref` is
+    the constant-index (B_pad, H) output block that carries dL/dh between
+    chunks and ends as dh0."""
+    tc = pl.program_id(0)
+    b = pl.program_id(1)
+    rows = pl.ds(b * Bt, Bt)
 
-    @pl.when(t == 0)  # reversed: first grid step is the LAST timestep
+    @pl.when(tc == 0)  # reversed: first grid step is the LAST time chunk
     def _():
-        dh_scr[:] = dhT_ref[:]
+        dhcarry_ref[rows] = dhT_ref[:]
 
-    @pl.when(jnp.logical_and(b == 0, t == 0))
+    @pl.when(jnp.logical_and(tc == 0, b == 0))
     def _():
         dwhh_ref[:] = jnp.zeros_like(dwhh_ref)
         dbhh_ref[:] = jnp.zeros_like(dbhh_ref)
 
     whh = whh_ref[:]
-    h_prev = hprev_ref[0]
-    gh = jnp.dot(h_prev, whh, preferred_element_type=jnp.float32) + bhh_ref[:]
-    gi_t = gi_ref[0]
-    r, z, n = _gates(gi_t, gh)
+    bhh = bhh_ref[:]
     H = whh.shape[0]
-
-    dh_total = dy_ref[0] + dh_scr[:]
-    dn = dh_total * (1.0 - z)
-    dz = dh_total * (h_prev - n)
-    dpre_n = dn * (1.0 - n * n)
-    dr = dpre_n * gh[:, 2 * H :]
-    dpre_r = dr * r * (1.0 - r)
-    dpre_z = dz * z * (1.0 - z)
-    dgh_n = dpre_n * r
-    dgh = jnp.concatenate([dpre_r, dpre_z, dgh_n], axis=-1)
-    dgi_ref[0] = jnp.concatenate([dpre_r, dpre_z, dpre_n], axis=-1)
-
-    dh_prev = dh_total * z + jax.lax.dot_general(
-        dgh, whh,
-        dimension_numbers=(((1,), (1,)), ((), ())),  # dgh @ whh.T
-        preferred_element_type=jnp.float32,
-    )
-    dwhh_ref[:] += jax.lax.dot_general(
-        h_prev, dgh,
-        dimension_numbers=(((0,), (0,)), ((), ())),  # h_prev.T @ dgh
-        preferred_element_type=jnp.float32,
-    )
-    dbhh_ref[:] += jnp.sum(dgh, axis=0, keepdims=True)
-    dh_scr[:] = dh_prev
-
-    @pl.when(t == pl.num_programs(1) - 1)  # reversed: global timestep 0
-    def _():
-        dh0_ref[:] = dh_prev
+    nc = pl.num_programs(0)
+    tc_glob = nc - 1 - tc  # actual chunk index under the reversed stream
+    dh = dhcarry_ref[rows]
+    dwhh_acc = jnp.zeros_like(dwhh_ref)
+    dbhh_acc = jnp.zeros_like(dbhh_ref)
+    for k in range(K - 1, -1, -1):  # reversed inside the chunk
+        valid = tc_glob * K + k < T  # time-padded steps pass dh through
+        h_prev = hprev_ref[k]
+        gh = jnp.dot(h_prev, whh, preferred_element_type=jnp.float32) + bhh
+        gi_t = gi_ref[k]
+        r, z, n = _gates(gi_t, gh)
+        dh_total = dy_ref[k] + dh
+        dn = dh_total * (1.0 - z)
+        dz = dh_total * (h_prev - n)
+        dpre_n = dn * (1.0 - n * n)
+        dr = dpre_n * gh[:, 2 * H :]
+        dpre_r = dr * r * (1.0 - r)
+        dpre_z = dz * z * (1.0 - z)
+        dgh_n = dpre_n * r
+        dgh = jnp.where(
+            valid, jnp.concatenate([dpre_r, dpre_z, dgh_n], axis=-1), 0.0
+        )
+        dgi_ref[k] = jnp.concatenate([dpre_r, dpre_z, dpre_n], axis=-1)
+        dh_new = dh_total * z + jax.lax.dot_general(
+            dgh, whh,
+            dimension_numbers=(((1,), (1,)), ((), ())),  # dgh @ whh.T
+            preferred_element_type=jnp.float32,
+        )
+        dh = jnp.where(valid, dh_new, dh)
+        dwhh_acc += jax.lax.dot_general(
+            h_prev, dgh,
+            dimension_numbers=(((0,), (0,)), ((), ())),  # h_prev.T @ dgh
+            preferred_element_type=jnp.float32,
+        )
+        dbhh_acc += jnp.sum(dgh, axis=0, keepdims=True)
+    dwhh_ref[:] += dwhh_acc
+    dbhh_ref[:] += dbhh_acc
+    dhcarry_ref[rows] = dh
 
 
 def _pad_batch(x, B_pad, axis):
@@ -150,6 +173,14 @@ def _pad_batch(x, B_pad, axis):
         return x
     pad = [(0, 0)] * x.ndim
     pad[axis] = (0, B_pad - x.shape[axis])
+    return jnp.pad(x, pad)
+
+
+def _pad_time(x, T_pad):
+    if x.shape[0] == T_pad:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[0] = (0, T_pad - x.shape[0])
     return jnp.pad(x, pad)
 
 
@@ -175,39 +206,43 @@ def fused_gru_sequence(gi, w_hh, b_hh, h0, interpret=False):
 def _fused_gru_fwd_impl(gi, w_hh, b_hh, h0, interpret):
     T, B, H3 = gi.shape
     H = H3 // 3
-    Bt = _batch_tile(B, H, 4 * H)
+    K = max(1, min(_K, T))
+    Bt = _batch_tile(B, H, 4 * H, K)
     B_pad = -(-B // Bt) * Bt
-    gi_p = _pad_batch(gi, B_pad, 1)
-    h0_p = _pad_batch(h0, B_pad, 0)
-    grid = (B_pad // Bt, T)
+    T_pad = -(-T // K) * K
+    grid = (T_pad // K, B_pad // Bt)
     f32 = jnp.float32
 
+    gi_p = _pad_time(_pad_batch(gi, B_pad, 1), T_pad)
+    h0_p = _pad_batch(h0, B_pad, 0)
+
     y, hT = pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, K=K, Bt=Bt, T=T),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, Bt, H3), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, H3), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H3), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bt, H), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bt, H), lambda tc, b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, Bt, H3), lambda tc, b: (tc, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H3), lambda tc, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H3), lambda tc, b: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, Bt, H), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bt, H), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, Bt, H), lambda tc, b: (tc, b, 0), memory_space=pltpu.VMEM),
+            # whole-array constant-index block: VMEM-resident for the whole
+            # call (doubles as the per-tile carry store), written out once
+            pl.BlockSpec((B_pad, H), lambda tc, b: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B_pad, H), f32),
+            jax.ShapeDtypeStruct((T_pad, B_pad, H), f32),
             jax.ShapeDtypeStruct((B_pad, H), f32),
         ],
-        scratch_shapes=[pltpu.VMEM((Bt, H), f32)],
         interpret=interpret,
     )(
+        h0_p.astype(f32),
         gi_p.astype(f32),
         w_hh.astype(f32),
         b_hh.reshape(1, H3).astype(f32),
-        h0_p.astype(f32),
     )
-    return y[:, :B], hT[:B]
+    return y[:T, :B], hT[:B]
 
 
 def _fused_gru_fwd(gi, w_hh, b_hh, h0, interpret):
@@ -222,54 +257,56 @@ def _fused_gru_bwd(interpret, residuals, cotangents):
     dy, dhT = cotangents
     T, B, H3 = gi.shape
     H = H3 // 3
-    Bt = _batch_tile(B, H, 8 * H)
+    K = max(1, min(_K, T))
+    Bt = _batch_tile(B, H, 8 * H, K)
     B_pad = -(-B // Bt) * Bt
-    grid = (B_pad // Bt, T)
+    T_pad = -(-T // K) * K
+    grid = (T_pad // K, B_pad // Bt)
     f32 = jnp.float32
 
     # shifted outputs: h_prev[t] = y[t-1], h_prev[0] = h0 — lets the kernel
     # stream h_{t-1} as an ordinary time-indexed block
     h_prev = jnp.concatenate([h0[None], y[:-1]], axis=0)
-
     args = (
-        _pad_batch(gi, B_pad, 1).astype(f32),
+        _pad_time(_pad_batch(gi, B_pad, 1), T_pad).astype(f32),
         w_hh.astype(f32),
         b_hh.reshape(1, H3).astype(f32),
-        _pad_batch(h_prev, B_pad, 1).astype(f32),
-        _pad_batch(dy, B_pad, 1).astype(f32),
+        _pad_time(_pad_batch(h_prev, B_pad, 1), T_pad).astype(f32),
+        _pad_time(_pad_batch(dy, B_pad, 1), T_pad).astype(f32),
         _pad_batch(dhT, B_pad, 0).astype(f32),
     )
-    rev = lambda b, t: (T - 1 - t, b, 0)  # noqa: E731 — reversed-time stream
+    nc = T_pad // K
+    rev = lambda tc, b: (nc - 1 - tc, b, 0)  # noqa: E731 — reversed stream
     dgi, dwhh, dbhh, dh0 = pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, K=K, Bt=Bt, T=T),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, Bt, H3), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, H3), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H3), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Bt, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Bt, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bt, H), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, Bt, H3), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H3), lambda tc, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H3), lambda tc, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, Bt, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, Bt, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bt, H), lambda tc, b: (b, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, Bt, H3), rev, memory_space=pltpu.VMEM),
-            # dw_hh/db_hh: every grid step maps to the SAME block and
-            # accumulates (sequential TPU grid ⇒ safe read-modify-write)
-            pl.BlockSpec((H, H3), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H3), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bt, H), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, Bt, H3), rev, memory_space=pltpu.VMEM),
+            # dw_hh/db_hh: constant-index accumulators (sequential TPU grid
+            # => race-free read-modify-write, resident until call end)
+            pl.BlockSpec((H, H3), lambda tc, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H3), lambda tc, b: (0, 0), memory_space=pltpu.VMEM),
+            # resident carry-store output (see forward): ends as dh0
+            pl.BlockSpec((B_pad, H), lambda tc, b: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B_pad, H3), f32),
+            jax.ShapeDtypeStruct((T_pad, B_pad, H3), f32),
             jax.ShapeDtypeStruct((H, H3), f32),
             jax.ShapeDtypeStruct((1, H3), f32),
             jax.ShapeDtypeStruct((B_pad, H), f32),
         ],
-        scratch_shapes=[pltpu.VMEM((Bt, H), f32)],
         interpret=interpret,
     )(*args)
     return (
-        dgi[:, :B].astype(gi.dtype),
+        dgi[:T, :B].astype(gi.dtype),
         dwhh.astype(w_hh.dtype),
         dbhh.reshape(H3).astype(b_hh.dtype),
         dh0[:B].astype(h0.dtype),
