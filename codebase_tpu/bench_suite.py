@@ -148,13 +148,14 @@ CONFIGS = {
             "algorithm.replay_slot_reuse=clear",
         ],
     ),
-    # Recurrent IDQN: BPTT through the GRU over whole episodes. batch_size
-    # 2048 sits inside the round-4 interleaved kernel's measured-win strip
-    # (12H < B <= 24H at H=128 — `models/networks.py:_fused_mode`; +14%
-    # full-layer BPTT vs scan, `scripts/rnn_kernel_bench.py`), so the BPTT
-    # updates run the pallas recurrence on TPU; the rollout (T=1 steps)
-    # always scans. (Round 2-3 tracked B=1024, where the round-4 kernel
-    # measures ~parity with scan — the win moved up with the redesign.)
+    # Recurrent IDQN: BPTT through the GRU over whole episodes, B=1024
+    # (the round-3 tuned batch — B=2048 measured 18.7M steps/s vs 25.8M+
+    # at 1024: bigger batches buy nothing at this lane's metric). Round-4
+    # finding: XLA's scan is genuinely optimal for this update shape — the
+    # redesigned interleaved kernel wins an isolated single-layer BPTT
+    # strip (+14% at B=2048) but LOSES end-to-end under the vmapped
+    # per-agent update (15.4M vs scan 18.7M at B=2048), so fused_rnn=auto
+    # resolves to scan and the _scan twin documents the parity.
     "idqn_rnn_lbf": dict(
         algo="idqn",
         env="lbforaging:Foraging-8x8-2p-3f-v3",
@@ -162,7 +163,7 @@ CONFIGS = {
         overrides=[
             "algorithm.model.use_rnn=true",
             "algorithm.parallel_envs=32768",
-            "algorithm.batch_size=2048",
+            "algorithm.batch_size=1024",
             "algorithm.updates_per_collect=8",
             "algorithm.buffer_size=65536",
             "algorithm.training_start=0",
@@ -179,7 +180,7 @@ CONFIGS = {
             "algorithm.model.use_rnn=true",
             "algorithm.model.fused_rnn=off",
             "algorithm.parallel_envs=32768",
-            "algorithm.batch_size=2048",
+            "algorithm.batch_size=1024",
             "algorithm.updates_per_collect=8",
             "algorithm.buffer_size=65536",
             "algorithm.training_start=0",

@@ -322,26 +322,20 @@ class RNNSpec:
                 f"fused_rnn=on needs hidden size % 128 == 0 (got {self.hidden_size})"
             )
             return "compiled"
-        # auto: only inside the measured-win envelope (see docstring). The
-        # round-4 interleaved kernel (time-outer grid, VMEM-resident
-        # carries, K-step unroll — `ops/fused_gru.py`) moved the window UP:
-        # it no longer collapses past one backward tile (round-3 layout at
-        # T=25 H=128 B=2048: 15.2ms vs scan 6.4ms; interleaved: beats scan)
-        # but it also erased the old sub-1280 win (B=1024 now measures
-        # ~parity with scan, 0.97x). Uncontended full-layer BPTT
-        # (`scripts/rnn_kernel_bench.py`, one v5e chip): B=1536 0.98x,
-        # B=2048 1.14x, B=4096 0.75x — engage only in the strip around
-        # 16*H where the win is real; everywhere else XLA's scan is equal
-        # or better and is the safer default. (Caution from round 4: a
-        # CPU-contended session inflated scan's dispatch cost 3x and made
-        # the kernel look 1.9x faster — believe only uncontended numbers.)
-        if (
-            jax.default_backend() == "tpu"
-            and aligned
-            and 2 <= T <= 32
-            and 12 * self.hidden_size < B <= 24 * self.hidden_size
-        ):
-            return "compiled"
+        # auto: resolves to the scan path. Round-4 pinned measurements
+        # (uncontended, one v5e chip) showed XLA's scan is genuinely
+        # optimal for this workload: the redesigned interleaved kernel
+        # (`ops/fused_gru.py`) fixed the round-3 multi-tile collapse and
+        # wins an ISOLATED single-layer BPTT strip (+14% at T=25 H=128
+        # B=2048; 0.97x at B=1024, 0.75x at B=4096,
+        # `scripts/rnn_kernel_bench.py`), but end-to-end — under the
+        # vmapped per-agent update of the real train step — it LOSES even
+        # inside that strip (idqn_rnn_lbf at B=2048: fused 15.4M vs scan
+        # 18.7M env-steps/s). Measurement hygiene note: a CPU-contended
+        # session inflates scan's dispatch cost ~3x and once made the
+        # kernel look 1.9x faster; only uncontended numbers count.
+        # `fused_rnn="on"` still forces the kernel for single-net
+        # workloads that match the isolated-win shape.
         return False
 
     def init_hiddens(self, batch_size: int):
