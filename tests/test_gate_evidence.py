@@ -166,3 +166,13 @@ class TestRound4Strict:
         result = compare_gate.compare("qmix", ref, fw, tail=5, abs_slack=0.0)
         assert not result["within_seed_variance"], result
         assert result["fw_mean"] > result["ref_mean"], result
+
+    def test_maa2c_csv_gate_passes_strict(self):
+        result = self._strict("maa2c")
+        assert abs(result["ref_mean"] - 0.8650) < 0.01, result
+        assert abs(result["fw_mean"] - 0.8290) < 0.01, result
+
+    def test_ippo_csv_gate_passes_strict(self):
+        result = self._strict("ippo")
+        assert abs(result["ref_mean"] - 0.8592) < 0.01, result
+        assert abs(result["fw_mean"] - 0.8162) < 0.01, result
