@@ -221,6 +221,8 @@ def analytic_flops(env, acfg, time_limit: int, n_updates: int):
     """
     model_cfg = acfg.model
     name = model_cfg.get("name", "qnetwork")
+    if name in ("a2c", "ppo"):
+        return _ac_analytic_flops(env, acfg, time_limit)
     if name not in ("qnetwork", "vdn", "qmix"):
         return None
     hidden = tuple(model_cfg.layers)
@@ -243,6 +245,38 @@ def analytic_flops(env, acfg, time_limit: int, n_updates: int):
         hw2 = (S * hemb + hemb * emb) if layered else S * emb
         per_tb = hw1 + hw2 + S * emb + (S * emb + emb) + (N * emb + emb)
         update += n_updates * B * T * per_tb * 2 * 4 * 2  # online+target mixers
+    return float(rollout_per_step), float(update)
+
+
+def _ac_analytic_flops(env, acfg, time_limit: int):
+    """AC-family (a2c/ppo) analytic matmul count.
+
+    Rollout: one actor forward per collected env step. Update (once per
+    iteration over the whole (T, E) batch): target-critic bootstrap forward
+    over T+1 rows, then `num_epochs` x (actor fwd+bwd + critic fwd+bwd,
+    ~3x a forward each) over T rows (`algos/ac.py`; reference
+    ac/model.py:189-246, :297-334)."""
+    model_cfg = acfg.model
+    hidden_a = tuple(model_cfg.actor.layers)
+    hidden_c = tuple(model_cfg.critic.layers)
+    centralised = bool(model_cfg.critic.centralised)
+    rnn_a = model_cfg.actor.use_rnn
+    rnn_c = model_cfg.critic.use_rnn
+    actor_row = sum(
+        _fwd_macs_per_row(env.obs_dims[i], hidden_a, env.action_dims[i], rnn_a)
+        for i in range(env.n_agents)
+    )
+    critic_in = [sum(env.obs_dims)] * env.n_agents if centralised else env.obs_dims
+    critic_row = sum(
+        _fwd_macs_per_row(critic_in[i], hidden_c, 1, rnn_c)
+        for i in range(env.n_agents)
+    )
+    T = time_limit
+    E = int(acfg.get("parallel_envs", 1))
+    epochs = int(acfg.get("num_epochs", 1)) if model_cfg.get("name") == "ppo" else 1
+    rollout_per_step = actor_row * 2
+    update = (T + 1) * E * critic_row * 2  # target-critic bootstrap fwd
+    update += epochs * T * E * (actor_row + critic_row) * 2 * 3  # fwd+bwd(2x)
     return float(rollout_per_step), float(update)
 
 
@@ -284,11 +318,7 @@ def run_config(key: str, windows: int = 3, window_iters: int = 16) -> dict:
     n_envs = int(cfg.algorithm.get("parallel_envs", 1))
     upc = cfg.algorithm.get("updates_per_collect", "auto")
     n_updates = n_envs if upc == "auto" else int(upc)
-    analytic = (
-        analytic_flops(env, cfg.algorithm, spec["time_limit"], n_updates)
-        if spec["algo"] in DQN_FAMILY
-        else None
-    )
+    analytic = analytic_flops(env, cfg.algorithm, spec["time_limit"], n_updates)
 
     # one compile serves analysis and timing
     chunk, costs, _ = profiling.compile_and_analyze(

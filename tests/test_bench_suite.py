@@ -54,12 +54,24 @@ class TestBenchSuite:
         )
         assert roll_per_step == float(per_row * 2)
         assert upd_per_iter == float(2 * 4 * 6 * per_row * 2 * 4)
-        # AC family: no analytic model (falls back to compiled estimate)
-        ac_cfg = load_config(["+algorithm=ia2c", "env.name=x", "env.time_limit=5"])
-        assert (
-            analytic_flops(env, ac_cfg.algorithm, 5, 2) is None
-            if ac_cfg.algorithm.model.get("name", "a2c") not in ("qnetwork", "vdn", "qmix")
-            else True
+        # AC family: actor-per-step rollout + bootstrap/update epochs
+        ac_cfg = load_config(
+            ["+algorithm=ia2c", "env.name=x", "env.time_limit=5",
+             "algorithm.parallel_envs=8"]
+        )
+        ac_roll, ac_upd = analytic_flops(env, ac_cfg.algorithm, 5, 2)
+        actor_row = sum(
+            _fwd_macs_per_row(env.obs_dims[i], (128, 128), env.action_dims[i], False)
+            for i in range(env.n_agents)
+        )
+        critic_row = sum(
+            _fwd_macs_per_row(env.obs_dims[i], (128, 128), 1, False)
+            for i in range(env.n_agents)
+        )
+        assert ac_roll == float(actor_row * 2)
+        # target-critic fwd over T+1 rows + 1 epoch of (actor+critic) fwd+bwd
+        assert ac_upd == float(
+            6 * 8 * critic_row * 2 + 1 * 5 * 8 * (actor_row + critic_row) * 2 * 3
         )
 
     def test_run_config_scaled_down(self, monkeypatch):
