@@ -102,3 +102,50 @@ class TestNStepReturns:
         # R_0 = R_1 = 1 + .5 + .25*10 = 4.0; the last nsteps positions never
         # bootstrap (reference breaks at t >= T): R_2 = 1.5, R_3 = 1.0
         np.testing.assert_allclose(out, [4.0, 4.0, 1.5, 1.0], atol=1e-6)
+
+
+class TestClipMask:
+    def test_masked_clip_scopes_norm_and_scaling_to_critic(self):
+        """Reference clip scope (`dqn/model.py:170`): clip_grad_norm_ touches
+        ONLY critic.parameters() — the mixer's grads are neither counted in
+        the global norm nor scaled. make_optimizer(clip_mask=...) must
+        reproduce exactly that (the round-4 QMIX gate divergence)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from codebase_tpu.algos.common import make_optimizer
+
+        params = {
+            "critic": {"w": jnp.zeros((3,))},
+            "mixer": {"w": jnp.zeros((3,))},
+        }
+        grads = {
+            "critic": {"w": jnp.asarray([3.0, 4.0, 0.0])},  # norm 5
+            "mixer": {"w": jnp.asarray([30.0, 40.0, 0.0])},  # norm 50 (ignored)
+        }
+        opt = make_optimizer(
+            "SGD", 1.0, grad_clip=1.0, clip_mask={"critic": True, "mixer": False}
+        )
+        upd, _ = opt.update(grads, opt.init(params), params)
+        # critic scaled by 1/5 (its OWN norm, not the joint norm sqrt(5^2+50^2))
+        np.testing.assert_allclose(
+            np.asarray(upd["critic"]["w"]), [-0.6, -0.8, 0.0], atol=1e-6
+        )
+        # mixer passes through unclipped
+        np.testing.assert_allclose(
+            np.asarray(upd["mixer"]["w"]), [-30.0, -40.0, 0.0], atol=1e-5
+        )
+
+    def test_unmasked_clip_uses_joint_norm(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from codebase_tpu.algos.common import make_optimizer
+
+        params = {"a": jnp.zeros((2,)), "b": jnp.zeros((2,))}
+        grads = {"a": jnp.asarray([3.0, 0.0]), "b": jnp.asarray([4.0, 0.0])}
+        opt = make_optimizer("SGD", 1.0, grad_clip=1.0)
+        upd, _ = opt.update(grads, opt.init(params), params)
+        np.testing.assert_allclose(np.asarray(upd["a"]), [-0.6, 0.0], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(upd["b"]), [-0.8, 0.0], atol=1e-6)
