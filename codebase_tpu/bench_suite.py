@@ -114,11 +114,14 @@ CONFIGS = {
         env="smaclite:3m-v0",
         time_limit=60,
         overrides=[
-            # 16384 envs measured the round-3 sweet spot (4096: 7.3M, 16384:
-            # ~10.5M, 32768: 8.2M steps/s) — the lane is rollout-op-count
-            # bound, so envs-per-chip amortise the serial chain until memory
-            # pressure bites
-            "algorithm.parallel_envs=16384",
+            # Round-4 retune AFTER the early-exit rollout: the lane is
+            # op-OVERHEAD bound (HBM util ~4%), so envs-per-chip amortise
+            # the fixed per-step kernel chain — 16384: 13.0M, 24576: 13.4M,
+            # 32768: 13.6M, 65536: **27.9M** steps/s (reproduced 27.5M;
+            # round 3's "32768 worse" predates the early exit). buffer ==
+            # E: each collect replaces the whole ring, which XLA elides to
+            # a buffer swap.
+            "algorithm.parallel_envs=65536",
             "algorithm.batch_size=256",
             "algorithm.updates_per_collect=8",
             "algorithm.buffer_size=65536",
