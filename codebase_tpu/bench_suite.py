@@ -64,7 +64,7 @@ CONFIGS = {
         env="lbforaging:Foraging-8x8-2p-3f-v3",
         time_limit=25,
         overrides=[
-            "algorithm.parallel_envs=32768",
+            "algorithm.parallel_envs=65536",
             "algorithm.batch_size=512",
             "algorithm.updates_per_collect=8",
             "algorithm.buffer_size=65536",
