@@ -50,7 +50,11 @@ sys.path.insert(0, str(REPO))
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 ENV_NAME = "lbforaging:Foraging-8x8-2p-3f-v3"
-TIME_LIMIT = 25
+TIME_LIMIT = 25  # default; override with --env / --time-limit (round 5
+# extends the gate beyond LBF: SMAClite exercises the action-mask training
+# path end-to-end — reference masks flow through info["action_mask"] into
+# the ReplayBuffer and the -1e8 masking in dqn/model.py:100-113 — and RWARE
+# cross-checks the second env family, /root/reference/README.md:71-74)
 
 # Reference-default hyperparameters, transcribed from
 # /root/reference/marlbase/configs/ (default.yaml + algorithm/{idqn,ia2c}.yaml).
@@ -207,13 +211,22 @@ class GateLogger:
             w.writerows(self.rows)
 
 
-def build_single_env(seed: int, cooperative: bool = False):
+def build_single_env(
+    seed: int,
+    cooperative: bool = False,
+    env_name: str = ENV_NAME,
+    time_limit: int = TIME_LIMIT,
+):
+    # Wrapper order mirrors the reference's make_env (utils/envs.py:23-56):
+    # base [-> SMACliteWrapper, whose reward-replication + info["action_mask"]
+    # contract GymnasiumEnv provides natively] -> TimeLimit -> episode stats
+    # -> named wrappers (CooperativeReward outermost for vdn/qmix).
     from codebase_tpu.envs import wrappers as W
     from codebase_tpu.envs.factory import make_base_env
     from codebase_tpu.envs.gym_compat import GymnasiumEnv
     from marlbase.utils import wrappers as mwrappers
 
-    base = W.TimeLimit(make_base_env(ENV_NAME), limit=TIME_LIMIT)
+    base = W.TimeLimit(make_base_env(env_name), limit=time_limit)
     env = GymnasiumEnv(base, seed=seed)
     env = mwrappers.RecordEpisodeStatistics(env)
     if cooperative:
@@ -222,19 +235,27 @@ def build_single_env(seed: int, cooperative: bool = False):
     return env
 
 
-def build_vector_env(seed: int):
+def build_vector_env(
+    seed: int,
+    env_name: str = ENV_NAME,
+    time_limit: int = TIME_LIMIT,
+    parallel_envs: int = PARALLEL_ENVS,
+):
     from codebase_tpu.envs import wrappers as W
     from codebase_tpu.envs.factory import make_base_env
     from codebase_tpu.envs.gym_compat import JaxVectorEnv
 
-    base = W.TimeLimit(make_base_env(ENV_NAME), limit=TIME_LIMIT)
-    return JaxVectorEnv(base, PARALLEL_ENVS, seed=seed)
+    base = W.TimeLimit(make_base_env(env_name), limit=time_limit)
+    return JaxVectorEnv(base, parallel_envs, seed=seed)
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--algo", choices=sorted(ALGO_CFGS), required=True)
     ap.add_argument("--seed", type=int, required=True)
+    ap.add_argument("--env", default=ENV_NAME)
+    ap.add_argument("--time-limit", type=int, default=TIME_LIMIT)
+    ap.add_argument("--parallel-envs", type=int, default=PARALLEL_ENVS)
     ap.add_argument("--total-steps", type=int, default=2_000_000)
     ap.add_argument("--eval-interval", type=int, default=20_000)
     ap.add_argument("--eval-episodes", type=int, default=100)
@@ -275,15 +296,26 @@ def main():
     if args.algo in DQN_FAMILY:
         from marlbase.dqn import train as ref_train
 
-        env = build_single_env(args.seed, cooperative=coop)
-        eval_env = build_single_env(args.seed + 10_000, cooperative=coop)
-        ref_train.main(env, eval_env, logger, TIME_LIMIT, **cfg)
+        env = build_single_env(
+            args.seed, cooperative=coop, env_name=args.env,
+            time_limit=args.time_limit,
+        )
+        eval_env = build_single_env(
+            args.seed + 10_000, cooperative=coop, env_name=args.env,
+            time_limit=args.time_limit,
+        )
+        ref_train.main(env, eval_env, logger, args.time_limit, **cfg)
     else:
         from marlbase.ac import train as ref_train
 
-        envs = build_vector_env(args.seed)
-        eval_env = build_single_env(args.seed + 10_000)
-        ref_train.main(envs, eval_env, logger, TIME_LIMIT, **cfg)
+        envs = build_vector_env(
+            args.seed, env_name=args.env, time_limit=args.time_limit,
+            parallel_envs=args.parallel_envs,
+        )
+        eval_env = build_single_env(
+            args.seed + 10_000, env_name=args.env, time_limit=args.time_limit
+        )
+        ref_train.main(envs, eval_env, logger, args.time_limit, **cfg)
 
     wall = time.time() - t0
     tail = [
@@ -294,7 +326,7 @@ def main():
     summary = {
         "algo": args.algo,
         "seed": args.seed,
-        "env": ENV_NAME,
+        "env": args.env,
         "total_steps": args.total_steps,
         "final_mean_episode_returns": float(np.mean(tail)) if tail else None,
         "fps": round(args.total_steps / wall, 1),
