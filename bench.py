@@ -47,14 +47,31 @@ def main():
 
     headline = suite.get("idqn_lbf", {})
     value = float(headline.get("env_steps_per_s", 0.0) or 0.0)
+    # Field order is load-bearing: the driver records only the LAST 2000
+    # characters of this line (BENCH_r04.json truncated the headline away —
+    # VERDICT r4 "what's weak" #1). The bulky per-config suite goes FIRST;
+    # a compact per-config summary plus the headline fields go LAST so the
+    # canonical numbers always survive the tail cut (~700 chars total).
+    summary = {
+        k: (
+            {
+                "steps_per_s": round(float(v.get("env_steps_per_s", 0.0)), 0),
+                "mfu": round(float(v.get("mfu", 0.0)), 4),
+            }
+            if "error" not in v
+            else {"error": True}
+        )
+        for k, v in suite.items()
+    }
     print(
         json.dumps(
             {
+                "suite": suite,
+                "summary": summary,
                 "metric": "idqn_train_env_steps_per_s",
                 "value": round(value, 1),
                 "unit": "env-steps/s/chip",
                 "vs_baseline": round(value / 1e6, 3),
-                "suite": suite,
             }
         )
     )

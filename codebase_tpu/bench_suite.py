@@ -247,7 +247,10 @@ def analytic_flops(env, acfg, time_limit: int, n_updates: int):
         hw1 = (S * hemb + hemb * N * emb) if layered else S * N * emb
         hw2 = (S * hemb + hemb * emb) if layered else S * emb
         per_tb = hw1 + hw2 + S * emb + (S * emb + emb) + (N * emb + emb)
-        update += n_updates * B * T * per_tb * 2 * 4 * 2  # online+target mixers
+        # 4x one mixer forward: online fwd (1) + backward (2) + target fwd
+        # (1, stop_gradient — no backward). The round-4 code multiplied by a
+        # further 2 "for the target mixer", double-counting it (ADVICE r4).
+        update += n_updates * B * T * per_tb * 2 * 4
     return float(rollout_per_step), float(update)
 
 

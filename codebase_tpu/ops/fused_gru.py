@@ -199,8 +199,27 @@ def fused_gru_sequence(gi, w_hh, b_hh, h0, interpret=False):
     Equivalent to `lax.scan(gru_cell)` in `models/networks.py` and
     differentiable via the fused reverse-time kernel (see module docstring).
     """
+    _check_resident_fits(gi.shape[1], gi.shape[2] // 3)
     y, hT = _fused_gru_fwd_impl(gi, w_hh, b_hh, h0, interpret)
     return y, hT
+
+
+def _check_resident_fits(B: int, H: int) -> None:
+    """Loud eligibility check (mirrors RNNSpec._fused_mode): the (B_pad, H)
+    carry store is a constant-index VMEM-resident block, so the WHOLE batch
+    must fit alongside the weights — `_batch_tile` only sizes the streamed
+    tiles and cannot shrink the carry. Without this check an oversized batch
+    (roughly B >= 24k at H=128) fails deep inside Mosaic with no actionable
+    error."""
+    resident = B * H * 4 + 2 * H * 3 * H * 4
+    if resident > _VMEM_BUDGET:
+        raise ValueError(
+            f"fused GRU kernel cannot hold the batch-wide carry store in "
+            f"VMEM: B={B}, H={H} needs {resident / 2**20:.1f}MB resident "
+            f"(carry B*H*4 + fwd/bwd recurrent weights) against the "
+            f"{_VMEM_BUDGET / 2**20:.0f}MB budget. Use the scan path "
+            f"(fused_rnn='off'/'auto') or reduce the update batch."
+        )
 
 
 def _fused_gru_fwd_impl(gi, w_hh, b_hh, h0, interpret):

@@ -54,6 +54,36 @@ class TestBenchSuite:
         )
         assert roll_per_step == float(per_row * 2)
         assert upd_per_iter == float(2 * 4 * 6 * per_row * 2 * 4)
+        # QMIX: idqn update term + mixer term. Hand computation of one mixer
+        # forward per (t, b) row: hypernet W1 (S->hemb->N*emb), hypernet W2
+        # (S->hemb->emb), hypernet b1 (S->emb), V(s) (S->emb->1), and the
+        # two mixing matmuls (N*emb + emb*1). Charged 4x: online fwd (1) +
+        # backward (2) + target fwd (1, stop_gradient, NO backward) — the
+        # trailing x2 the round-4 code applied double-counted the target
+        # mixer (ADVICE r4).
+        qmix_cfg = load_config(
+            [
+                "+algorithm=qmix",
+                "env.name=lbforaging:Foraging-5x5-2p-1f-v3",
+                "env.time_limit=5",
+                "algorithm.parallel_envs=8",
+                "algorithm.batch_size=4",
+            ]
+        )
+        q_roll, q_upd = analytic_flops(env, qmix_cfg.algorithm, 5, n_updates=2)
+        S = sum(env.obs_dims)
+        emb, hemb, N = 64, 32, env.n_agents
+        per_tb = (
+            (S * hemb + hemb * N * emb)
+            + (S * hemb + hemb * emb)
+            + S * emb
+            + (S * emb + emb)
+            + (N * emb + emb)
+        )
+        assert q_roll == float(per_row * 2)
+        assert q_upd == float(
+            2 * 4 * 6 * per_row * 2 * 4 + 2 * 4 * 5 * per_tb * 2 * 4
+        )
         # AC family: actor-per-step rollout + bootstrap/update epochs
         ac_cfg = load_config(
             ["+algorithm=ia2c", "env.name=x", "env.time_limit=5",

@@ -72,6 +72,46 @@ def test_gradients_match_scan():
         np.testing.assert_allclose(g, r, rtol=2e-4, atol=2e-4, err_msg=name)
 
 
+def test_multi_tile_interleaved_carry(monkeypatch):
+    """Force several batch tiles (the interleaved carry-store path, riskiest
+    part of the round-4 redesign): at the default VMEM budget B<=32 is a
+    single tile, so pin the tile size small instead. Covers T % K != 0 and
+    B % Bt != 0 simultaneously; asserts value AND grad parity vs scan."""
+    from codebase_tpu.ops import fused_gru as fg
+
+    monkeypatch.setattr(fg, "_batch_tile", lambda B, H, f, K: 16)
+    gi, w_hh, b_hh, h0 = _make(T=7, B=40)  # 3 tiles of 16 (B_pad=48), T_pad=8
+
+    y_ref, hT_ref = _scan_reference(gi, w_hh, b_hh, h0)
+    y, hT = fg.fused_gru_sequence(gi, w_hh, b_hh, h0, True)
+    np.testing.assert_allclose(y, y_ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(hT, hT_ref, rtol=1e-5, atol=1e-5)
+
+    def loss(fn, *args):
+        y, hT = fn(*args)
+        return jnp.sum(y * y[::-1]) * 1e-2 + jnp.sum(hT**2)
+
+    ref_g = jax.grad(functools.partial(loss, _scan_reference), argnums=(0, 1, 2, 3))(
+        gi, w_hh, b_hh, h0
+    )
+    got_g = jax.grad(
+        functools.partial(loss, lambda *a: fg.fused_gru_sequence(*a, True)),
+        argnums=(0, 1, 2, 3),
+    )(gi, w_hh, b_hh, h0)
+    for g, r, name in zip(got_g, ref_g, ["dgi", "dw_hh", "db_hh", "dh0"]):
+        np.testing.assert_allclose(g, r, rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_oversized_batch_raises():
+    """The (B_pad, H) carry store is VMEM-resident and cannot be tiled; an
+    oversized batch must fail loudly, not deep inside Mosaic."""
+    H = 128
+    B = 24576  # B*H*4 ~ 12.6MB > the 10MB budget
+    gi = jnp.zeros((1, B, 3 * H))
+    with pytest.raises(ValueError, match="carry store"):
+        fused_gru_sequence(gi, jnp.zeros((H, 3 * H)), jnp.zeros((3 * H,)), jnp.zeros((B, H)), True)
+
+
 def test_layer_sequence_matches_cell_scan():
     """Full layer entry point vs RNNSpec's gru_cell scan, torch init."""
     H = 128
