@@ -151,6 +151,48 @@ CONFIGS = {
             "algorithm.replay_slot_reuse=clear",
         ],
     ),
+    # AC-family compute-dominant config (VERDICT r4 item 4): same MMM2
+    # scale as the QMIX config above but through the ON-POLICY update path —
+    # PPO epochs + centralised critic over the whole (T, E) batch, shared
+    # 2x512 GRU actor, bf16. Proves the AC update path's compute story with
+    # analytic MFU the way qmix_smaclite_mmm2_big does for the DQN family.
+    "mappo_smaclite_mmm2_big": dict(
+        algo="mappo",
+        env="smaclite:MMM2-v0",
+        time_limit=120,
+        overrides=[
+            "algorithm.model.actor.use_rnn=true",
+            "algorithm.model.actor.layers=[512,512]",
+            "algorithm.model.actor.parameter_sharing=true",
+            "algorithm.model.actor.dtype=bfloat16",
+            "algorithm.model.critic.use_rnn=true",
+            "algorithm.model.critic.layers=[512,512]",
+            "algorithm.model.critic.parameter_sharing=true",
+            "algorithm.model.critic.dtype=bfloat16",
+            "algorithm.parallel_envs=512",
+        ],
+    ),
+    # Reference-shape throughput config (VERDICT r4 item 6): every other
+    # throughput config benches a best-case shape nobody trains
+    # (training_start=0, updates_per_collect=8, buffer == collect width,
+    # clean slot reuse). This one keeps the reference's training semantics —
+    # slot-reuse quirk ON (the default), training_start=2000, batch_size=32,
+    # ONE update per collect (the reference's 1-update-per-episode cadence,
+    # dqn/train.py:305-311), buffer (16384 episodes) >> collect width — so
+    # the suite bounds REALISTIC training throughput, not only the tuned
+    # lane. Collect width 1024 is the only concession to the vector rollout.
+    "idqn_lbf_refshape": dict(
+        algo="idqn",
+        env="lbforaging:Foraging-8x8-2p-3f-v3",
+        time_limit=25,
+        overrides=[
+            "algorithm.parallel_envs=1024",
+            "algorithm.batch_size=32",
+            "algorithm.updates_per_collect=1",
+            "algorithm.buffer_size=16384",
+            "algorithm.training_start=2000",
+        ],
+    ),
     # Recurrent IDQN: BPTT through the GRU over whole episodes, B=1024
     # (the round-3 tuned batch — B=2048 measured 18.7M steps/s vs 25.8M+
     # at 1024: bigger batches buy nothing at this lane's metric). Round-4

@@ -16,6 +16,8 @@ class TestBenchSuite:
             "qmix_rware",
             "qmix_smaclite_3m",
             "qmix_smaclite_mmm2_big",
+            "mappo_smaclite_mmm2_big",
+            "idqn_lbf_refshape",
             "idqn_rnn_lbf",
             "idqn_rnn_lbf_scan",
         }
