@@ -108,12 +108,79 @@ def worker():
         )
 
 
+def run_curve(envs_per_device: int = 2048):
+    """Pinned weak-scaling methodology for the virtual CPU mesh (VERDICT r4
+    item 8): every point runs in its OWN subprocess with exactly the device
+    count it needs, and each N-device mesh point is paired with a 1-device
+    run at the SAME total env batch. On a CPU box all virtual devices
+    timeshare the same cores, so raw efficiency-vs-linear conflates core
+    contention with framework overhead; the paired ratio
+
+        efficiency_proxy(N) = rate(mesh over N devices, N*e envs)
+                              / rate(1 device, N*e envs)
+
+    cancels the box's compute ceiling and isolates what the framework adds
+    at N devices: GSPMD partitioning, collective scheduling, and sharding
+    boundaries. On real chips the same script measures true weak scaling
+    (the 1-device denominator then saturates memory first — use
+    efficiency_vs_linear from the mesh points instead). >= 0.8 is the
+    BASELINE.json multi-host target's measured proxy."""
+    import subprocess
+    import sys
+
+    def point(n_devices: int, total_envs: int, mesh_devices: int):
+        env = dict(os.environ)
+        env.update(
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS=f"--xla_force_host_platform_device_count={n_devices}",
+        )
+        out = subprocess.run(
+            [
+                sys.executable,
+                __file__,
+                "--point",
+                str(mesh_devices),
+                str(total_envs // mesh_devices),
+            ],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        return float(out.stdout.strip().splitlines()[-1])
+
+    e = envs_per_device
+    results = []
+    for n in (1, 2, 4, 8):
+        mesh_rate = point(n, n * e, n)
+        flat_rate = point(1, n * e, 1) if n > 1 else mesh_rate
+        results.append(
+            {
+                "metric": "idqn_weak_scaling_overhead_isolated",
+                "devices": n,
+                "total_envs": n * e,
+                "mesh_rate": round(mesh_rate, 1),
+                "one_device_same_batch_rate": round(flat_rate, 1),
+                "efficiency_proxy": round(mesh_rate / flat_rate, 3),
+            }
+        )
+        print(json.dumps(results[-1]), flush=True)
+    return results
+
+
 def main():
     import argparse
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--processes", type=int, default=0, help="spawn N jax.distributed workers (multi-host path)")
     ap.add_argument("--worker", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument(
+        "--curve",
+        action="store_true",
+        help="subprocess-isolated weak-scaling curve with the paired "
+        "1-device-same-batch baseline (overhead-isolated efficiency proxy)",
+    )
+    ap.add_argument("--point", nargs=2, type=int, default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
 
     from codebase_tpu.utils.compilation_cache import enable as enable_cache
@@ -121,6 +188,13 @@ def main():
     enable_cache()
     if args.worker:
         worker()
+        return
+    if args.point is not None:
+        n_mesh, envs_per_dev = args.point
+        print(measure(n_mesh, envs_per_device=envs_per_dev))
+        return
+    if args.curve:
+        run_curve()
         return
     if args.processes:
         run_multiprocess(args.processes)
