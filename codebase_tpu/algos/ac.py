@@ -34,7 +34,12 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from codebase_tpu.algos.common import make_optimizer, soft_update, tree_where
+from codebase_tpu.algos.common import (
+    early_exit_option,
+    make_optimizer,
+    soft_update,
+    tree_where,
+)
 from codebase_tpu.envs.api import Environment
 from codebase_tpu.envs.vector import Rollout, collect_episodes
 from codebase_tpu.models import distributions as D
@@ -268,6 +273,7 @@ def build_train_functions(
     opt = make_optimizer(
         acfg.optimizer, float(acfg.lr), acfg.grad_clip, inject_lr="lr" in dynamic_hypers
     )
+    early_exit = early_exit_option(acfg)
     hyper_defaults = {"lr": float(acfg.lr), "gamma": float(acfg.gamma), "tau": tau}
 
     def _hyper_tree(hyper):
@@ -389,6 +395,7 @@ def build_train_functions(
             time_limit,
             bool(acfg.use_proper_termination),
             env_sharding=env_sharding,
+            early_exit=early_exit,
         )
         if reward_plan is not None:
             # persistent streaming standardisation of the raw rewards

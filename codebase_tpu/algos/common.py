@@ -76,3 +76,19 @@ def periodic_hard_update(target, source, do_update):
 
 def global_norm(tree) -> jnp.ndarray:
     return optax.global_norm(tree)
+
+
+def early_exit_option(acfg):
+    """Resolve the `rollout_early_exit` config knob for `collect_episodes`:
+    "auto" (default; while_loop early exit at E >= 512, scan below) or a
+    forced "on"/"off" — the tracked A/B toggle for arbitrating collector
+    regressions on wide-batch lanes (both variants are bit-identical;
+    `envs/vector.py`)."""
+    opt = acfg.get("rollout_early_exit", "auto")
+    if opt in ("auto", None):
+        return "auto"
+    if opt in ("on", True, "true"):
+        return True
+    if opt in ("off", False, "false"):
+        return False
+    raise ValueError(f"rollout_early_exit must be auto/on/off, got {opt!r}")

@@ -32,7 +32,12 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from codebase_tpu.algos.common import make_optimizer, soft_update, tree_where
+from codebase_tpu.algos.common import (
+    early_exit_option,
+    make_optimizer,
+    soft_update,
+    tree_where,
+)
 from codebase_tpu.envs.api import Environment
 from codebase_tpu.envs.vector import collect_episodes
 from codebase_tpu.models.distributions import MASK_NEG
@@ -295,6 +300,10 @@ def build_train_functions(
     buffer_size = -(-int(acfg.buffer_size) // n_envs) * n_envs
     updates_per_collect = acfg.get("updates_per_collect", "auto")
     n_updates = n_envs if updates_per_collect == "auto" else int(updates_per_collect)
+    # rollout collector variant: "auto" (while_loop early exit at E>=512,
+    # scan below — envs/vector.py), or force "on"/"off" for A/B measurement
+    # (the round-5 flagship arbitration; both variants are bit-identical)
+    early_exit = early_exit_option(acfg)
     tau = float(acfg.target_update_interval_or_tau)
     # reference clip scope: clip_grad_norm_ touches ONLY critic.parameters()
     # (`dqn/model.py:170`) — the QMIX mixer trains through the same Adam but
@@ -436,6 +445,7 @@ def build_train_functions(
             time_limit,
             bool(acfg.use_proper_termination),
             env_sharding=env_sharding,
+            early_exit=early_exit,
         )
         reward_stream = state.reward_stream
         if reward_plan is not None:
