@@ -74,13 +74,22 @@ CONFIGS = {
             # re-reads every overwritten slot block per iteration, which
             # only matters for wide-collect benches, not the parity gate
             "algorithm.replay_slot_reuse=clear",
+            # round-5 A/B (quiet box, 5 windows): LBF episodes run ~the
+            # full T, so the early-exit collector's per-step any() check is
+            # pure overhead — scan 107.4M vs early-exit 103.2M steps/s.
+            # Early exit stays on (auto) only for the SMAClite lanes, whose
+            # episodes end at ~23/60 steps (+6.8% there).
+            "algorithm.rollout_early_exit=off",
         ],
     ),
     "ia2c_lbf": dict(
         algo="ia2c",
         env="lbforaging:Foraging-8x8-2p-3f-v3",
         time_limit=25,
-        overrides=["algorithm.parallel_envs=8192"],
+        overrides=[
+            "algorithm.parallel_envs=8192",
+            "algorithm.rollout_early_exit=off",  # +5.9% (see idqn_lbf note)
+        ],
     ),
     "vdn_shared_lbf10": dict(
         algo="vdn",
@@ -94,6 +103,7 @@ CONFIGS = {
             "algorithm.buffer_size=32768",
             "algorithm.training_start=0",
             "algorithm.replay_slot_reuse=clear",  # see idqn_lbf note
+            "algorithm.rollout_early_exit=off",  # parity/+0.5% (idqn_lbf note)
         ],
     ),
     "qmix_rware": dict(
@@ -101,12 +111,19 @@ CONFIGS = {
         env="rware-tiny-2ag-v2",
         time_limit=500,
         overrides=[
-            "algorithm.parallel_envs=4096",
+            # Round-5 retune (quiet box): 4096 -> 8192 envs = 33.2M ->
+            # 39.0M steps/s (+18%); 16384 exceeds HBM (T=500 rollout
+            # buffers). The 65536-style retune that bought SMAClite 2.3x
+            # is capped here by episode length.
+            "algorithm.parallel_envs=8192",
             "algorithm.batch_size=128",
             "algorithm.updates_per_collect=8",
-            "algorithm.buffer_size=8192",
+            "algorithm.buffer_size=16384",
             "algorithm.training_start=0",
             "algorithm.replay_slot_reuse=clear",  # see idqn_lbf note
+            # RWARE episodes always run the full T=500 (no terminal state):
+            # the early-exit check never fires and costs 5.5%
+            "algorithm.rollout_early_exit=off",
         ],
     ),
     "qmix_smaclite_3m": dict(
@@ -144,7 +161,15 @@ CONFIGS = {
             "algorithm.model.parameter_sharing=true",
             "algorithm.model.dtype=bfloat16",
             "algorithm.parallel_envs=2048",
-            "algorithm.batch_size=128",
+            # Round-5 profile (scripts/diag/mmm2_lane_profile.py, quiet
+            # box): the iteration is UPDATE-dominated (82-88%), and the
+            # update phase's MFU rises with batch until HBM runs out —
+            # B=128: upd 55.9% / overall 51.9%; B=256: upd 62.9% /
+            # overall 59.0%; B>=384: OOM (the 121-step BPTT working set).
+            # The remainder is the serial scan chains: rollout carries
+            # (E*N, 512) through T sequential GRU steps at ~31% MFU, and
+            # the update BPTTs B*N rows through the same chain fwd+bwd.
+            "algorithm.batch_size=256",
             "algorithm.updates_per_collect=8",
             "algorithm.buffer_size=2048",
             "algorithm.training_start=0",
@@ -169,7 +194,11 @@ CONFIGS = {
             "algorithm.model.critic.layers=[512,512]",
             "algorithm.model.critic.parameter_sharing=true",
             "algorithm.model.critic.dtype=bfloat16",
-            "algorithm.parallel_envs=512",
+            # E=512 exceeds HBM (the 4-epoch PPO BPTT holds (T, N, E, H)
+            # f32 activation chains for actor AND centralised critic:
+            # ~27.5G vs 15.75G); E=256 fits and measures 56.7% MFU
+            # (round-5 quiet-box, 3 windows)
+            "algorithm.parallel_envs=256",
         ],
     ),
     # Reference-shape throughput config (VERDICT r4 item 6): every other
@@ -187,6 +216,7 @@ CONFIGS = {
         time_limit=25,
         overrides=[
             "algorithm.parallel_envs=1024",
+            "algorithm.rollout_early_exit=off",  # LBF (see idqn_lbf note)
             "algorithm.batch_size=32",
             "algorithm.updates_per_collect=1",
             "algorithm.buffer_size=16384",
@@ -207,6 +237,7 @@ CONFIGS = {
         time_limit=25,
         overrides=[
             "algorithm.model.use_rnn=true",
+            "algorithm.rollout_early_exit=off",  # LBF (see idqn_lbf note)
             "algorithm.parallel_envs=32768",
             "algorithm.batch_size=1024",
             "algorithm.updates_per_collect=8",
@@ -224,6 +255,7 @@ CONFIGS = {
         overrides=[
             "algorithm.model.use_rnn=true",
             "algorithm.model.fused_rnn=off",
+            "algorithm.rollout_early_exit=off",  # LBF (see idqn_lbf note)
             "algorithm.parallel_envs=32768",
             "algorithm.batch_size=1024",
             "algorithm.updates_per_collect=8",
