@@ -143,3 +143,14 @@ class Environment:
         low-precision replay storage is lossless. Default False (e.g.
         SMAClite emits fractional hp features)."""
         return False
+
+    @property
+    def early_termination_possible(self) -> bool:
+        """False when episodes can only end at the env's fixed horizon
+        (e.g. RWARE: `terminated = t >= max_steps`, no other terminal
+        condition). The early-exit episode collector (`envs/vector.py`)
+        can then never stop before the scan length, so its per-step
+        all-done check is pure overhead and `early_exit="auto"` resolves
+        to the plain scan. Default True (LBF ends when food is collected,
+        SMAClite on elimination)."""
+        return True

@@ -126,6 +126,14 @@ class RWARE(Environment):
         return True  # coords, flags, one-hots only -> bf16-exact replay
 
     @property
+    def early_termination_possible(self) -> bool:
+        # episodes end ONLY at the fixed horizon (`terminated = t >=
+        # max_steps` below — warehouse work never "finishes"), so the
+        # early-exit collector can never stop early; auto uses plain scan
+        # (round-5 A/B: the per-step all-done check costs 5.5% here)
+        return False
+
+    @property
     def obs_dim(self) -> int:
         w = 2 * self.sensor_range + 1
         return 8 + w * w * 5 + w * w * 2

@@ -103,7 +103,10 @@ def collect_episodes(
         (Rollout, final policy carry)
     """
     if early_exit == "auto":
-        early_exit = n_envs >= 512
+        # wide batches amortise the while_loop's per-step all-done check —
+        # but only for envs that CAN end before the horizon (RWARE cannot:
+        # Environment.early_termination_possible)
+        early_exit = n_envs >= 512 and env.early_termination_possible
     def constrain(ts):
         """Pin the leading env axis of every TimeStep field to the mesh's
         data axis; GSPMD propagates the sharding through the batched step

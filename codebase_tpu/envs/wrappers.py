@@ -58,6 +58,10 @@ class WrapperBase(Environment):
         return self.env.integer_valued_obs
 
     @property
+    def early_termination_possible(self):
+        return self.env.early_termination_possible
+
+    @property
     def base_env(self):
         env = self.env
         while isinstance(env, WrapperBase):
