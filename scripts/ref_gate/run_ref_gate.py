@@ -216,6 +216,7 @@ def build_single_env(
     cooperative: bool = False,
     env_name: str = ENV_NAME,
     time_limit: int = TIME_LIMIT,
+    standardise_rewards: bool = False,
 ):
     # Wrapper order mirrors the reference's make_env (utils/envs.py:23-56):
     # base [-> SMACliteWrapper, whose reward-replication + info["action_mask"]
@@ -229,6 +230,10 @@ def build_single_env(
     base = W.TimeLimit(make_base_env(env_name), limit=time_limit)
     env = GymnasiumEnv(base, seed=seed)
     env = mwrappers.RecordEpisodeStatistics(env)
+    if standardise_rewards:
+        # the reference applies StandardiseReward AFTER episode stats
+        # (utils/envs.py:44-46), so logged returns stay raw
+        env = mwrappers.StandardiseReward(env)
     if cooperative:
         env = mwrappers.CooperativeReward(env)
     env.reset(seed=seed)
