@@ -111,20 +111,27 @@ def worker():
 def run_curve(envs_per_device: int = 2048):
     """Pinned weak-scaling methodology for the virtual CPU mesh (VERDICT r4
     item 8): every point runs in its OWN subprocess with exactly the device
-    count it needs, and each N-device mesh point is paired with a 1-device
-    run at the SAME total env batch. On a CPU box all virtual devices
-    timeshare the same cores, so raw efficiency-vs-linear conflates core
-    contention with framework overhead; the paired ratio
+    count it needs (fixed envs/device, 1 -> 2 -> 4 -> 8 devices).
 
-        efficiency_proxy(N) = rate(mesh over N devices, N*e envs)
-                              / rate(1 device, N*e envs)
+    Headline proxy — RETENTION: on this box the compute ceiling is already
+    saturated at 1 device (XLA CPU uses all cores), so ideal weak scaling
+    keeps the TOTAL env-steps/s flat as devices (and total envs) grow;
 
-    cancels the box's compute ceiling and isolates what the framework adds
-    at N devices: GSPMD partitioning, collective scheduling, and sharding
-    boundaries. On real chips the same script measures true weak scaling
-    (the 1-device denominator then saturates memory first — use
-    efficiency_vs_linear from the mesh points instead). >= 0.8 is the
-    BASELINE.json multi-host target's measured proxy."""
+        retention(N) = mesh_rate(N devices, N*e envs) / mesh_rate(1, e)
+
+    decays only with what the framework+GSPMD add at N devices
+    (partitioning boundaries, collective scheduling, resharding). >= 0.8
+    is the BASELINE.json multi-host target's measured proxy.
+
+    Each point also records a 1-device run at the SAME total batch.
+    Interpretation caveat, measured round 5: that paired ratio is NOT an
+    overhead isolator on CPU — the single-device baseline speeds up
+    super-linearly with batch (165k -> 599k steps/s from 2k -> 16k envs)
+    because XLA CPU's intra-op parallelism improves with operand size,
+    which no mesh partitioning could match. It is kept as context only.
+    On real chips, use efficiency_vs_linear from the default mode (the
+    per-chip batch is what memory allows; the 1-device same-batch run
+    does not exist there)."""
     import subprocess
     import sys
 
@@ -151,17 +158,20 @@ def run_curve(envs_per_device: int = 2048):
 
     e = envs_per_device
     results = []
+    base_rate = None
     for n in (1, 2, 4, 8):
         mesh_rate = point(n, n * e, n)
         flat_rate = point(1, n * e, 1) if n > 1 else mesh_rate
+        if n == 1:
+            base_rate = mesh_rate
         results.append(
             {
-                "metric": "idqn_weak_scaling_overhead_isolated",
+                "metric": "idqn_weak_scaling_retention",
                 "devices": n,
                 "total_envs": n * e,
                 "mesh_rate": round(mesh_rate, 1),
+                "retention_vs_1dev": round(mesh_rate / base_rate, 3),
                 "one_device_same_batch_rate": round(flat_rate, 1),
-                "efficiency_proxy": round(mesh_rate / flat_rate, 3),
             }
         )
         print(json.dumps(results[-1]), flush=True)
