@@ -7,8 +7,11 @@ chunk's XLA cost analysis:
     MFU = (compiled FLOPs per chunk / best chunk wall time) / chip peak FLOPs
 
 The reference has no benchmark suite at all (it measures FPS at runtime and
-records nothing, `marlbase/utils/loggers.py:69-71`); these five configs are
-the tracked set from BASELINE.md ("Benchmark configs to track").
+records nothing, `marlbase/utils/loggers.py:69-71`); the configs below are
+the tracked set from BASELINE.md: five tuned throughput lanes, two
+compute-dominant MMM2 configs (DQN and AC families), a reference-shape
+lane bounding realistic training throughput, and the fused-vs-scan RNN
+pair.
 
 RL env-stepping is elementwise-heavy, so MFU is expected to be far below
 LLM-style numbers — it is reported so perf claims carry a FLOPs-utilisation
@@ -56,7 +59,7 @@ PEAK_HBM_BW = {
     "TPU v6e": 1640e9,
 }
 
-# The five BASELINE.md configs. `overrides` are dot-path config overrides on
+# The tracked BASELINE.md configs. `overrides` are dot-path config overrides on
 # top of the algorithm preset; env batch sizes are the round-1 tuned values.
 CONFIGS = {
     "idqn_lbf": dict(
