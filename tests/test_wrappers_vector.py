@@ -325,3 +325,40 @@ class TestEarlyExitCollection:
         for e in range(16):
             L = int(lengths[e])
             assert np.all(filled[L:, e] == 0.0)
+
+
+class TestEarlyExitConfigKnob:
+    def test_early_exit_option_resolution(self):
+        from codebase_tpu.algos.common import early_exit_option
+        from codebase_tpu.config import load_config
+
+        for raw, want in [("auto", "auto"), ("on", True), ("true", True),
+                          ("off", False), ("false", False)]:
+            cfg = load_config([
+                "+algorithm=idqn", "env.name=x", "env.time_limit=5",
+                f"algorithm.rollout_early_exit={raw}",
+            ])
+            assert early_exit_option(cfg.algorithm) == want, raw
+        cfg = load_config([
+            "+algorithm=idqn", "env.name=x", "env.time_limit=5",
+            "algorithm.rollout_early_exit=banana",
+        ])
+        import pytest
+
+        with pytest.raises(ValueError):
+            early_exit_option(cfg.algorithm)
+
+    def test_auto_skips_fixed_horizon_envs(self):
+        """RWARE can only end at its fixed horizon, so auto must resolve
+        to the scan collector even at wide E (round-5 A/B: the per-step
+        all-done check costs 5.5% and can never pay)."""
+        from codebase_tpu.envs.factory import make_env
+
+        rware = make_env("rware-tiny-2ag-v2", time_limit=20)
+        lbf = make_env("lbforaging:Foraging-5x5-2p-1f-v3", time_limit=5)
+        assert not rware.early_termination_possible
+        assert lbf.early_termination_possible
+        # property survives the wrapper stack
+        from codebase_tpu.envs import wrappers as W
+
+        assert not W.CooperativeReward(rware).early_termination_possible
