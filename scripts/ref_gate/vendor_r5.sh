@@ -27,15 +27,44 @@ vendor_fw ia2c_rware    rware      ia2c
 vendor_fw ippo          lbf        ippo
 vendor_fw maa2c         lbf        maa2c
 
-echo "== smaclite3m =="
-python scripts/ref_gate/compare_gate.py \
-  --ref docs/gate_evidence/ref_r5/smaclite3m --fw docs/gate_evidence/fw_r5/smaclite3m \
-  --algos qmix vdn
-echo "== rware =="
-python scripts/ref_gate/compare_gate.py \
-  --ref docs/gate_evidence/ref_r5/rware --fw docs/gate_evidence/fw_r5/rware \
-  --algos ia2c
-echo "== lbf (round-5 seeds 5-9 only; combine with r4 for n=10) =="
-python scripts/ref_gate/compare_gate.py \
-  --ref docs/gate_evidence/ref_r5/lbf --fw docs/gate_evidence/fw_r5/lbf \
-  --algos ippo maa2c
+# compare over the vendored flat CSVs (both sides use the ref-style
+# {algo}_seed{N}.csv layout; compare_gate's CLI expects fw run dirs, so
+# drive the library directly — the same loader test_gate_evidence.py uses)
+python - <<'PY'
+import sys
+sys.path.insert(0, "scripts/ref_gate")
+from pathlib import Path
+import compare_gate as cg
+
+EV = Path("docs/gate_evidence")
+
+def load(sub, algo):
+    return {
+        int(p.stem.split("seed")[1]): cg._read_csv(p)
+        for p in sorted((EV / sub).glob(f"{algo}_seed*.csv"))
+    }
+
+for sub, algos, extra in [
+    ("smaclite3m", ["qmix", "vdn"], None),
+    ("rware", ["ia2c"], None),
+    # lbf: round-5 seeds 5-9 combined with the round-4 5-seed evidence
+    ("lbf", ["ippo", "maa2c"], "r4"),
+]:
+    print(f"== {sub} ==")
+    for algo in algos:
+        ref = load(f"ref_r5/{sub}", algo)
+        fw = load(f"fw_r5/{sub}", algo)
+        if extra == "r4":
+            ref.update(load("ref_r4", algo))
+            fw.update(load("fw_r4", algo))
+        if not ref or not fw:
+            print(f"  {algo}: INCOMPLETE ({len(ref)} ref / {len(fw)} fw)")
+            continue
+        r = cg.compare(algo, ref, fw, tail=5, abs_slack=0.0)
+        print(
+            f"  {algo}: ref {r['ref_mean']:.4f}±{r['ref_std']:.4f} "
+            f"(n={len(r['ref_seeds'])}) fw {r['fw_mean']:.4f}±{r['fw_std']:.4f} "
+            f"(n={len(r['fw_seeds'])}) @step {r['compared_at_step']} -> "
+            f"{'PASS strict' if r['within_seed_variance'] else 'FAIL'}"
+        )
+PY

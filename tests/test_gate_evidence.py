@@ -176,3 +176,37 @@ class TestRound4Strict:
         result = self._strict("ippo")
         assert abs(result["ref_mean"] - 0.8592) < 0.01, result
         assert abs(result["fw_mean"] - 0.8162) < 0.01, result
+
+
+class TestRound5Strict:
+    """Round-5 evidence: the gate extended beyond LBF (VERDICT r4 items
+    1 and 7). QMIX trained head-to-head on smaclite:3m-v0 (T=60, 1M
+    steps/side) — the action-mask training path exercised end-to-end on
+    BOTH stacks (reference: info["action_mask"] -> ReplayBuffer -> -1e8
+    masking, dqn/model.py:100-113; framework: masked ε-greedy + masked
+    target max). IA2C on rware-tiny-2ag-v2 (T=500, 2M steps/side) — the
+    second env family; at this budget both stacks are at the earliest
+    learning stage (returns ~0.03), so the gate checks agreement at low
+    amplitude (documented in COMPARISON.md)."""
+
+    def _strict(self, sub, algo, n=5, tail=5):
+        ref = _load(f"ref_r5/{sub}", algo)
+        fw = _load(f"fw_r5/{sub}", algo)
+        assert len(ref) == n and len(fw) == n, f"{n} seeds per side for {algo}"
+        result = compare_gate.compare(algo, ref, fw, tail=tail, abs_slack=0.0)
+        assert result["within_seed_variance"], result
+        return result
+
+    def test_qmix_smaclite_gate_passes_strict(self):
+        result = self._strict("smaclite3m", "qmix")
+        assert result["compared_at_step"] >= 950_000
+        assert abs(result["ref_mean"] - 2.8922) < 0.02, result
+        assert abs(result["fw_mean"] - 2.8813) < 0.02, result
+        # real learning signal on this env (vs the 0.03-floor LBF mixers)
+        assert result["ref_mean"] > 2.0 and result["fw_mean"] > 2.0
+
+    def test_ia2c_rware_gate_passes_strict(self):
+        result = self._strict("rware", "ia2c")
+        assert result["compared_at_step"] == 2_000_000
+        assert abs(result["ref_mean"] - 0.0400) < 0.01, result
+        assert abs(result["fw_mean"] - 0.0280) < 0.01, result
