@@ -210,3 +210,38 @@ class TestRound5Strict:
         assert result["compared_at_step"] == 2_000_000
         assert abs(result["ref_mean"] - 0.0400) < 0.01, result
         assert abs(result["fw_mean"] - 0.0280) < 0.01, result
+
+
+class TestRound5LBFn10:
+    """ippo/maa2c extended to 10 seeds/side (VERDICT r4 item 3): round-4
+    seeds 0-4 + round-5 seeds 5-9, compared at the largest common step.
+    maa2c's round-4 lean dissolves (delta 0.017 ~ 16% of band). ippo passes
+    strict at n=10 and the supplementary fw seeds 10-19 (lbf_extra/) put
+    the n=20 fw mean at 0.825 vs ref 0.863 — a ~0.9-sigma residual that
+    persists while EVERY stage is individually exonerated: f64-bit-faithful
+    updates (ppo_update_parity), distributionally identical frozen-policy
+    collection (ac_rollout_dist_compare), identical post-done storage
+    semantics, and the same measurement channel (both sides log training
+    episodes). Full discussion: COMPARISON.md round-5 section."""
+
+    def _n10(self, algo):
+        ref = {**_load("ref_r4", algo), **_load("ref_r5/lbf", algo)}
+        fw = {**_load("fw_r4", algo), **_load("fw_r5/lbf", algo)}
+        assert len(ref) == 10 and len(fw) == 10, algo
+        result = compare_gate.compare(algo, ref, fw, tail=5, abs_slack=0.0)
+        assert result["within_seed_variance"], result
+        return result
+
+    def test_ippo_10_seed_gate_passes_strict(self):
+        result = self._n10("ippo")
+        assert abs(result["ref_mean"] - 0.8632) < 0.01, result
+        assert abs(result["fw_mean"] - 0.8119) < 0.01, result
+
+    def test_maa2c_10_seed_gate_passes_strict(self):
+        result = self._n10("maa2c")
+        assert abs(result["ref_mean"] - 0.8417) < 0.01, result
+        assert abs(result["fw_mean"] - 0.8248) < 0.01, result
+
+    def test_ippo_n20_supplementary_evidence_vendored(self):
+        extra = _load("fw_r5/lbf_extra", "ippo")
+        assert sorted(extra) == list(range(10, 20))
