@@ -24,7 +24,15 @@ vendor_fw () {
 vendor_fw qmix_smaclite smaclite3m qmix
 vendor_fw vdn_smaclite  smaclite3m vdn
 vendor_fw ia2c_rware    rware      ia2c
-vendor_fw ippo          lbf        ippo
+# lbf holds the OFFICIAL n=10 gate seeds (5-9 here + r4's 0-4); the
+# supplementary fw-only seeds 10-19 go to lbf_extra
+for d in outputs/fw_gate_r5/ippo_seed{5,6,7,8,9}; do
+  [ -f "$d/results.csv" ] && cp -f "$d/results.csv" "docs/gate_evidence/fw_r5/lbf/ippo_seed${d##*seed}.csv"
+done
+mkdir -p docs/gate_evidence/fw_r5/lbf_extra
+for d in outputs/fw_gate_r5/ippo_seed1[0-9]; do
+  [ -f "$d/results.csv" ] && cp -f "$d/results.csv" "docs/gate_evidence/fw_r5/lbf_extra/ippo_seed${d##*seed}.csv"
+done
 vendor_fw maa2c         lbf        maa2c
 
 # compare over the vendored flat CSVs (both sides use the ref-style

@@ -205,6 +205,13 @@ class TestRound5Strict:
         # real learning signal on this env (vs the 0.03-floor LBF mixers)
         assert result["ref_mean"] > 2.0 and result["fw_mean"] > 2.0
 
+    def test_vdn_smaclite_gate_passes_strict(self):
+        result = self._strict("smaclite3m", "vdn")
+        assert result["compared_at_step"] >= 950_000
+        assert abs(result["ref_mean"] - 2.8569) < 0.02, result
+        assert abs(result["fw_mean"] - 2.8884) < 0.02, result
+        assert result["fw_mean"] > result["ref_mean"]  # fw ahead
+
     def test_ia2c_rware_gate_passes_strict(self):
         result = self._strict("rware", "ia2c")
         assert result["compared_at_step"] == 2_000_000
