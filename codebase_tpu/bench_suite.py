@@ -243,10 +243,11 @@ CONFIGS = {
         overrides=[
             "algorithm.model.use_rnn=true",
             "algorithm.rollout_early_exit=off",  # LBF (see idqn_lbf note)
-            "algorithm.parallel_envs=32768",
+            # round-5 retune: 32768 -> 65536 envs = 25.8M -> 29.8M (+16%)
+            "algorithm.parallel_envs=65536",
             "algorithm.batch_size=1024",
             "algorithm.updates_per_collect=8",
-            "algorithm.buffer_size=65536",
+            "algorithm.buffer_size=131072",
             "algorithm.training_start=0",
             "algorithm.replay_slot_reuse=clear",  # see idqn_lbf note
         ],
@@ -261,10 +262,10 @@ CONFIGS = {
             "algorithm.model.use_rnn=true",
             "algorithm.model.fused_rnn=off",
             "algorithm.rollout_early_exit=off",  # LBF (see idqn_lbf note)
-            "algorithm.parallel_envs=32768",
+            "algorithm.parallel_envs=65536",  # matched to idqn_rnn_lbf
             "algorithm.batch_size=1024",
             "algorithm.updates_per_collect=8",
-            "algorithm.buffer_size=65536",
+            "algorithm.buffer_size=131072",
             "algorithm.training_start=0",
             "algorithm.replay_slot_reuse=clear",  # see idqn_lbf note
         ],
